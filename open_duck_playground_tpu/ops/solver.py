@@ -1,0 +1,119 @@
+"""Newton constraint solver with Newton-on-alpha linesearch.
+
+Solves the convex acceleration-level problem MuJoCo defines:
+
+    min_qacc  0.5 (qacc - qacc_smooth)^T M (qacc - qacc_smooth)
+              + sum_i cost_i(J_i qacc - aref_i)
+
+where unilateral rows (limits, contacts) cost 0.5 D x^2 for x < 0 (and the
+row exists, pos < 0), and dof-friction rows cost a Huber function saturating
+at the frictionloss bound. Configured like the reference scenes:
+iterations=1, ls_iterations=5 (open_duck_mini_v2.xml:6).
+
+Static shapes throughout; the batch dimension comes from vmap outside.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from open_duck_playground_tpu.ops import linalg
+from open_duck_playground_tpu.ops.constraint import Efc
+from open_duck_playground_tpu.ops.types import Model
+
+_TINY = 1e-12
+
+
+def _force_and_hessian_mask(efc: Efc, Jaref: jax.Array):
+    """Per-row force f(x) and whether the row is in its quadratic zone."""
+    exists = efc.pos < 0.0
+    quad_active = efc.is_quad & exists & (Jaref < 0.0)
+    Dx = efc.D * Jaref
+    inside = efc.is_friction & (jnp.abs(Dx) <= efc.floss)
+    f = jnp.where(quad_active, -Dx, 0.0)
+    f = jnp.where(efc.is_friction, -jnp.clip(Dx, -efc.floss, efc.floss), f)
+    hess_mask = quad_active | inside
+    return f, hess_mask
+
+
+def solve(
+    m: Model,
+    M: jax.Array,
+    qacc_smooth: jax.Array,
+    efc: Efc,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (qacc, qfrc_constraint)."""
+    if efc.J.shape[0] == 0:
+        return qacc_smooth, jnp.zeros_like(qacc_smooth)
+
+    qacc = qacc_smooth
+    Jaref = efc.J @ qacc - efc.aref
+
+    for _ in range(max(1, m.opt.iterations)):
+        f, hess_mask = _force_and_hessian_mask(efc, Jaref)
+        # grad = M (qacc - qacc_smooth) - J^T f
+        Ma_err = M @ (qacc - qacc_smooth)
+        grad = Ma_err - efc.J.T @ f
+        # H = M + J^T diag(D * hess_mask) J
+        w = efc.D * hess_mask
+        H = M + (efc.J * w[:, None]).T @ efc.J
+        direction = -linalg.solve_psd(H, grad)
+
+        # --- linesearch on alpha (piecewise-quadratic 1D objective) ---
+        # The objective along `direction` is piecewise quadratic (rows change
+        # state at breakpoints), so a raw Newton iteration on alpha can
+        # overshoot badly when a saturated friction row contributes slope but
+        # no curvature. We bracket the minimum (phi' sign change) and run
+        # safeguarded Newton/bisection, ls_iterations refinement steps.
+        Jd = efc.J @ direction
+        Md = M @ direction
+        smooth_b = direction @ Ma_err  # phi_s'(0)
+        smooth_a = direction @ Md  # phi_s''
+        exists = efc.pos < 0.0
+
+        def dphi(alpha):
+            x = Jaref + alpha * Jd
+            quad_active = efc.is_quad & exists & (x < 0.0)
+            Dx = efc.D * x
+            inside = efc.is_friction & (jnp.abs(Dx) <= efc.floss)
+            saturated = efc.is_friction & ~inside
+            act = quad_active | inside
+            d1 = (
+                smooth_b
+                + smooth_a * alpha
+                + jnp.sum(efc.D * x * Jd * act)
+                + jnp.sum(efc.floss * jnp.sign(x) * Jd * saturated)
+            )
+            d2 = smooth_a + jnp.sum(efc.D * Jd * Jd * act)
+            return d1, d2
+
+        d1_0, d2_0 = dphi(jnp.zeros((), qacc.dtype))
+        descent = d1_0 < 0.0
+        # expand hi until phi'(hi) >= 0
+        hi = jnp.where(
+            d2_0 > _TINY, -d1_0 / jnp.maximum(d2_0, _TINY), jnp.ones((), qacc.dtype)
+        )
+        hi = jnp.maximum(hi, 1e-8)
+        for _ in range(8):
+            d1_hi, _ = dphi(hi)
+            hi = jnp.where(d1_hi < 0.0, hi * 2.0, hi)
+        lo = jnp.zeros((), qacc.dtype)
+        alpha = 0.5 * (lo + hi)
+        for _ls in range(max(1, m.opt.ls_iterations)):
+            d1_a, d2_a = dphi(alpha)
+            lo = jnp.where(d1_a < 0.0, alpha, lo)
+            hi = jnp.where(d1_a >= 0.0, alpha, hi)
+            newton = alpha - d1_a / jnp.maximum(d2_a, _TINY)
+            mid = 0.5 * (lo + hi)
+            alpha = jnp.where((newton > lo) & (newton < hi) & (d2_a > _TINY), newton, mid)
+        alpha = jnp.where(descent, alpha, 0.0)
+
+        qacc = qacc + alpha * direction
+        Jaref = Jaref + alpha * Jd
+
+    f, _ = _force_and_hessian_mask(efc, Jaref)
+    qfrc_constraint = efc.J.T @ f
+    return qacc, qfrc_constraint

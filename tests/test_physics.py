@@ -1,0 +1,356 @@
+"""Physics-engine validation: analytic oracles + duck-scene behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_duck_playground_tpu.mjcf import compile_mjcf
+from open_duck_playground_tpu.mjcf import npdynamics as npd
+from open_duck_playground_tpu.ops import forward as fwd
+from open_duck_playground_tpu.ops import smooth
+
+
+PENDULUM = """
+<mujoco model="pendulum">
+  <compiler angle="radian"/>
+  <option timestep="0.001" iterations="1" ls_iterations="5">
+    <flag eulerdamp="disable"/>
+  </option>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="hinge" type="hinge" axis="0 1 0" pos="0 0 0"/>
+      <inertial pos="0 0 -0.5" mass="1.0" diaginertia="0.001 0.001 0.001"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+FREE_BODY = """
+<mujoco model="freebody">
+  <compiler angle="radian"/>
+  <option timestep="0.001"/>
+  <worldbody>
+    <body name="box" pos="0 0 1">
+      <freejoint name="root"/>
+      <inertial pos="0 0 0" mass="2.0" fullinertia="0.02 0.01 0.03 0.001 0 0"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _compile_str(tmp_path, xml, name="model.xml", **kw):
+    p = tmp_path / name
+    p.write_text(xml)
+    return compile_mjcf(str(p), **kw)
+
+
+def _np_model_from(m):
+    nm = npd.NpModel()
+    nm.nbody, nm.njnt, nm.nv, nm.nq = m.nbody, m.njnt, m.nv, m.nq
+    for f in [
+        "body_parentid", "body_rootid", "body_jntadr", "body_jntnum",
+        "body_dofadr", "body_dofnum", "jnt_type", "jnt_qposadr", "jnt_dofadr",
+        "jnt_bodyid", "dof_bodyid", "dof_parentid",
+    ]:
+        setattr(nm, f, getattr(m, f).np)
+    for f in [
+        "body_pos", "body_quat", "body_ipos", "body_iquat", "body_mass",
+        "body_inertia", "jnt_pos", "jnt_axis", "dof_armature", "qpos0",
+    ]:
+        setattr(nm, f, np.asarray(getattr(m, f), np.float64))
+    return nm
+
+
+# ---------------------------------------------------------------------------
+# analytic oracles
+# ---------------------------------------------------------------------------
+
+
+def test_free_fall(tmp_path):
+    m = _compile_str(tmp_path, FREE_BODY)
+    d = fwd.init(m, m.qpos0, jnp.zeros(m.nv), jnp.zeros(m.nu))
+    step = jax.jit(lambda d: fwd.step(m, d))
+    for _ in range(100):
+        d = step(d)
+    t = 0.1
+    z_expected = 1.0 - 0.5 * 9.81 * t * t
+    # semi-implicit Euler bias: z_n = 1 - 0.5 g t(t+dt)
+    z_euler = 1.0 - 0.5 * 9.81 * t * (t + 0.001)
+    assert abs(float(d.qpos[2]) - z_euler) < 1e-4, (float(d.qpos[2]), z_expected)
+
+
+def test_free_rotation_conserves_angular_momentum(tmp_path):
+    m = _compile_str(tmp_path, FREE_BODY)
+    m = m.replace(opt=m.opt.replace(gravity=jnp.zeros(3)))
+    qvel0 = jnp.zeros(m.nv).at[3:6].set(jnp.array([3.0, -2.0, 1.0]))
+    d = fwd.init(m, m.qpos0, qvel0, jnp.zeros(m.nu))
+
+    def ang_mom(d):
+        # world-frame angular momentum: R I_body w_local
+        from open_duck_playground_tpu.ops import math3d as m3
+
+        q = d.qpos[3:7]
+        R = m3.quat_to_mat(m3.quat_mul(q, m.body_iquat[1]))
+        w_local_inertial = R.T @ m3.quat_rot(q, d.qvel[3:6])
+        return R @ (m.body_inertia[1] * w_local_inertial)
+
+    L0 = ang_mom(d)
+    step = jax.jit(lambda d: fwd.step(m, d))
+    for _ in range(500):
+        d = step(d)
+    L1 = ang_mom(d)
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), rtol=2e-2, atol=1e-3)
+
+
+def test_pendulum_dynamics(tmp_path):
+    """qacc at release must equal -m g l sin(theta) / (I + m l^2)."""
+    m = _compile_str(tmp_path, PENDULUM)
+    theta0 = 0.3
+    qpos = jnp.array([theta0])
+    d = fwd.init(m, qpos, jnp.zeros(1), jnp.zeros(0))
+    l, mass, I = 0.5, 1.0, 0.001
+    qacc_expected = -mass * 9.81 * l * np.sin(theta0) / (I + mass * l * l)
+    np.testing.assert_allclose(float(d.qacc[0]), qacc_expected, rtol=1e-4)
+
+
+def test_pendulum_period(tmp_path):
+    """Small-angle period: T = 2 pi sqrt((I + m l^2)/(m g l))."""
+    m = _compile_str(tmp_path, PENDULUM)
+    theta0 = 0.05
+    d = fwd.init(m, jnp.array([theta0]), jnp.zeros(1), jnp.zeros(0))
+    T_expected = 2 * np.pi * np.sqrt((0.001 + 0.25) / (1.0 * 9.81 * 0.5))
+    # integrate one expected period; should be back near theta0 with qvel ~ 0
+    steps = int(round(T_expected / 0.001))
+    step20 = jax.jit(lambda d: fwd.step_n(m, d, jnp.zeros(0), 20))
+    for _ in range(steps // 20):
+        d = step20(d)
+    for _ in range(steps % 20):
+        d = fwd.step(m, d)
+    assert abs(float(d.qpos[0]) - theta0) < 0.004
+    assert abs(float(d.qvel[0])) < 0.05
+
+
+def test_pendulum_energy_drift(tmp_path):
+    m = _compile_str(tmp_path, PENDULUM)
+    d = fwd.init(m, jnp.array([1.0]), jnp.zeros(1), jnp.zeros(0))
+
+    def energy(d):
+        th, w = float(d.qpos[0]), float(d.qvel[0])
+        return 0.5 * (0.001 + 0.25) * w * w + 1.0 * 9.81 * 0.5 * (1 - np.cos(th))
+
+    e0 = energy(d)
+    step20 = jax.jit(lambda d: fwd.step_n(m, d, jnp.zeros(0), 20))
+    for _ in range(100):
+        d = step20(d)
+    assert abs(energy(d) - e0) / e0 < 0.02
+
+
+def test_crb_matches_numpy_oracle(flat_model):
+    m = flat_model
+    nm = _np_model_from(m)
+    rng = np.random.RandomState(3)
+    qpos = np.array(m.keyframe("home").qpos, np.float64)  # writable copy
+    qpos[7:] += rng.uniform(-0.3, 0.3, m.nq - 7)
+    # numpy oracle
+    xpos, xquat, xanchor, xaxis = npd.fk(nm, qpos)
+    sc, xipos, cinert, cdof = npd.com_quantities(nm, xpos, xquat, xanchor, xaxis)
+    M_np = npd.crb_matrix(nm, cinert, cdof)
+    # jax pipeline
+    qj = jnp.asarray(qpos, jnp.float32)
+    xp, xq, xm, xa, xx = smooth.kinematics(m, qj)
+    sc_j, xipos_j, cinert_j, cdof_j = smooth.com_pos(m, xp, xq, xm, xa, xx)
+    M_j = smooth.crb(m, cinert_j, cdof_j)
+    np.testing.assert_allclose(np.asarray(M_j), M_np, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xp), xpos, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sc_j), sc, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# constraints
+# ---------------------------------------------------------------------------
+
+
+def test_joint_limit_stops_pendulum(tmp_path):
+    xml = PENDULUM.replace(
+        '<joint name="hinge" type="hinge" axis="0 1 0" pos="0 0 0"/>',
+        '<joint name="hinge" type="hinge" axis="0 1 0" pos="0 0 0" range="-0.2 0.2"/>',
+    )
+    m = _compile_str(tmp_path, xml)
+    d = fwd.init(m, jnp.array([0.19]), jnp.zeros(1), jnp.zeros(0))
+    worst = 0.0
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, jnp.zeros(0), 10))
+    for _ in range(300):
+        d = step10(d)
+        worst = max(worst, abs(float(d.qpos[0])))
+    assert worst < 0.25, worst  # limit holds (soft constraint allows ~small overshoot)
+
+
+def test_frictionloss_sticks(tmp_path):
+    """Static friction: gravity torque below frictionloss bound -> no motion."""
+    xml = PENDULUM.replace(
+        '<joint name="hinge" type="hinge" axis="0 1 0" pos="0 0 0"/>',
+        '<joint name="hinge" type="hinge" axis="0 1 0" pos="0 0 0" frictionloss="5.0"/>',
+    )
+    m = _compile_str(tmp_path, xml)
+    # gravity torque at 0.3 rad: m g l sin(0.3) = 1.45 Nm < 5 Nm -> sticks
+    d = fwd.init(m, jnp.array([0.3]), jnp.zeros(1), jnp.zeros(0))
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, jnp.zeros(0), 10))
+    for _ in range(20):
+        d = step10(d)
+    # MuJoCo's friction-loss constraint is regularized (soft), so a small
+    # creep velocity tau/(D*b) remains; assert near-stick, not exact stick.
+    assert abs(float(d.qpos[0]) - 0.3) < 1e-2
+    assert abs(float(d.qvel[0])) < 0.05
+
+
+def test_position_servo_tracks(tmp_path):
+    xml = """
+<mujoco model="servo">
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="hinge" type="hinge" axis="0 1 0" damping="0.5"/>
+      <inertial pos="0 0 0" mass="0.1" diaginertia="0.01 0.01 0.01"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <position name="hinge" joint="hinge" kp="20"/>
+  </actuator>
+</mujoco>
+"""
+    m = _compile_str(tmp_path, xml)
+    m = m.replace(opt=m.opt.replace(gravity=jnp.zeros(3)))
+    d = fwd.init(m, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
+    target = jnp.array([0.7])
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, target, 10))
+    for _ in range(200):
+        d = step10(d)
+    assert abs(float(d.qpos[0]) - 0.7) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# duck scene
+# ---------------------------------------------------------------------------
+
+
+def test_duck_stands(flat_model):
+    m = flat_model
+    kf = m.keyframe("home")
+    d = fwd.init(m, jnp.asarray(kf.qpos, jnp.float32), jnp.zeros(m.nv),
+                 jnp.asarray(kf.ctrl, jnp.float32))
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, ctrl, 10))
+    for _ in range(100):  # 2 seconds
+        d = step10(d)
+    assert not bool(jnp.isnan(d.qpos).any())
+    z = float(d.qpos[2])
+    assert 0.1 < z < 0.25, z
+    up = float(d.sensordata[11])  # upvector z
+    assert up > 0.95, up
+    # resting: low velocity
+    assert float(jnp.linalg.norm(d.qvel)) < 0.1
+
+
+def test_duck_feet_contact_floor(flat_model):
+    m = flat_model
+    kf = m.keyframe("home")
+    d = fwd.init(m, jnp.asarray(kf.qpos, jnp.float32), jnp.zeros(m.nv),
+                 jnp.asarray(kf.ctrl, jnp.float32))
+    lf = m.geom("left_foot_bottom_tpu")
+    rf = m.geom("right_foot_bottom_tpu")
+    floor = m.geom("floor")
+    pl = m.find_pair(lf, floor)
+    pr = m.find_pair(rf, floor)
+    dl = np.asarray(d.contact.dist[pl * 4 : pl * 4 + 4])
+    dr = np.asarray(d.contact.dist[pr * 4 : pr * 4 + 4])
+    assert (dl < 0).any() and (dr < 0).any()
+    # foot-foot pair not in contact
+    pff = m.find_pair(lf, rf)
+    assert (np.asarray(d.contact.dist[pff * 4 : pff * 4 + 4]) > 0).all()
+
+
+def test_duck_drop_and_settle(flat_model):
+    """Drop from 5cm above home: must land and settle without NaN/launch."""
+    m = flat_model
+    kf = m.keyframe("home")
+    qpos = jnp.asarray(kf.qpos, jnp.float32).at[2].add(0.05)
+    d = fwd.init(m, qpos, jnp.zeros(m.nv), jnp.asarray(kf.ctrl, jnp.float32))
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, ctrl, 10))
+    zs = []
+    for _ in range(150):
+        d = step10(d)
+        zs.append(float(d.qpos[2]))
+    assert not bool(jnp.isnan(d.qpos).any())
+    assert 0.1 < zs[-1] < 0.25, zs[-1]
+    assert max(zs) < 0.35  # no energy explosion
+
+
+def test_duck_rest_normal_force(flat_model):
+    """At rest the vertical constraint force balances gravity."""
+    m = flat_model
+    kf = m.keyframe("home")
+    d = fwd.init(m, jnp.asarray(kf.qpos, jnp.float32), jnp.zeros(m.nv),
+                 jnp.asarray(kf.ctrl, jnp.float32))
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, ctrl, 10))
+    for _ in range(100):
+        d = step10(d)
+    d = fwd.forward(m, d)
+    weight = float(m.body_subtreemass[1]) * 9.81
+    fz = float(d.qfrc_constraint[2])
+    assert abs(fz - weight) / weight < 0.05, (fz, weight)
+
+
+def test_backlash_model_compiles_and_stands(backlash_model):
+    m = backlash_model
+    assert m.nq == 31 and m.nv == 30 and m.nu == 14
+    kf = m.keyframe("home")
+    d = fwd.init(m, jnp.asarray(kf.qpos, jnp.float32), jnp.zeros(m.nv),
+                 jnp.asarray(kf.ctrl, jnp.float32))
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, ctrl, 10))
+    for _ in range(50):
+        d = step10(d)
+    assert not bool(jnp.isnan(d.qpos).any())
+    assert 0.1 < float(d.qpos[2]) < 0.25
+
+
+def test_vmap_batch_consistency(flat_model):
+    """vmapped stepping must equal single-env stepping."""
+    m = flat_model
+    kf = m.keyframe("home")
+    B = 4
+    qpos = jnp.tile(jnp.asarray(kf.qpos, jnp.float32), (B, 1))
+    qpos = qpos.at[:, 0].add(jnp.arange(B) * 0.1)
+    ctrl = jnp.tile(jnp.asarray(kf.ctrl, jnp.float32), (B, 1))
+    init_b = jax.vmap(lambda q, c: fwd.init(m, q, jnp.zeros(m.nv), c))
+    db = init_b(qpos, ctrl)
+    step_b = jax.jit(jax.vmap(lambda d, c: fwd.step_n(m, d, c, 10), in_axes=(0, 0)))
+    db = step_b(db, ctrl)
+    d0 = fwd.init(m, qpos[0], jnp.zeros(m.nv), ctrl[0])
+    d0 = fwd.step_n(m, d0, ctrl[0], 10)
+    # vmapped and single-env programs are compiled separately; XLA f32
+    # reassociation differs, and contact dynamics amplify it slightly.
+    np.testing.assert_allclose(np.asarray(db.qpos[0]), np.asarray(d0.qpos),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_determinism(flat_model):
+    m = flat_model
+    kf = m.keyframe("home")
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, ctrl, 10))
+
+    def run():
+        d = fwd.init(m, jnp.asarray(kf.qpos, jnp.float32), jnp.zeros(m.nv), ctrl)
+        for _ in range(20):
+            d = step10(d)
+        return np.asarray(d.qpos)
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
