@@ -1,0 +1,402 @@
+"""PPO actor-learner, Brax-PPO semantics, sharded over a TPU device mesh.
+
+Replaces `brax.training.agents.ppo.train` for this framework (the
+reference's L3 training stack, SURVEY.md section 2b): batched on-device
+rollouts via lax.scan over env.step, GAE with truncation masking, clipped
+surrogate + 0.25*value-error^2 + entropy bonus, running-statistics obs
+normalization (asymmetric actor/critic keys), minibatched Adam epochs with
+global-norm clipping.
+
+TPU-first distribution: instead of the reference stack's pmap+psum, the
+env-state batch is sharded along a 1-D `Mesh(("env",))` with NamedSharding,
+learner params replicated; a single jit of the whole training epoch lets
+XLA SPMD insert the cross-chip reductions (gradients, normalizer stats)
+over ICI. Runs unchanged on 1 chip, N chips, or the CPU virtual-device
+mesh used in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from open_duck_playground_tpu.envs.wrapper import TrainEnv
+from open_duck_playground_tpu.train import networks as nets
+
+import optax
+
+
+class Transition(NamedTuple):
+    observation: Dict[str, jax.Array]
+    action: jax.Array
+    reward: jax.Array
+    discount: jax.Array
+    next_observation: Dict[str, jax.Array]
+    truncation: jax.Array
+    raw_action: jax.Array
+    log_prob: jax.Array
+
+
+@struct.dataclass
+class TrainingState:
+    params: nets.PPOParams
+    normalizer: nets.RunningStatisticsState
+    opt_state: Any
+    env_steps: jax.Array
+
+
+def compute_gae(truncation, termination, rewards, values, bootstrap_value,
+                lambda_: float, discount: float):
+    """Brax-semantics GAE: deltas masked at truncation boundaries."""
+    truncation_mask = 1 - truncation
+    values_t_plus_1 = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
+    deltas = rewards + discount * (1 - termination) * values_t_plus_1 - values
+    deltas *= truncation_mask
+
+    def body(acc, xs):
+        tmask, delta, term = xs
+        acc = delta + discount * (1 - term) * tmask * lambda_ * acc
+        return acc, acc
+
+    _, vs_minus_v_xs = jax.lax.scan(
+        body, jnp.zeros_like(bootstrap_value),
+        (truncation_mask, deltas, termination), reverse=True,
+    )
+    vs = vs_minus_v_xs + values
+    vs_t_plus_1 = jnp.concatenate([vs[1:], bootstrap_value[None]], axis=0)
+    advantages = (rewards + discount * (1 - termination) * vs_t_plus_1 - values) * truncation_mask
+    return jax.lax.stop_gradient(vs), jax.lax.stop_gradient(advantages)
+
+
+def train(
+    environment,
+    eval_env=None,
+    *,
+    num_timesteps: int,
+    episode_length: int = 1000,
+    num_envs: int = 8192,
+    num_eval_envs: int = 128,
+    action_repeat: int = 1,
+    unroll_length: int = 20,
+    num_minibatches: int = 32,
+    batch_size: int = 256,
+    num_updates_per_batch: int = 4,
+    learning_rate: float = 3e-4,
+    entropy_cost: float = 5e-3,
+    discounting: float = 0.97,
+    gae_lambda: float = 0.95,
+    clipping_epsilon: float = 0.2,
+    normalize_advantage: bool = True,
+    reward_scaling: float = 1.0,
+    normalize_observations: bool = True,
+    max_grad_norm: Optional[float] = 1.0,
+    num_evals: int = 15,
+    deterministic_eval: bool = False,
+    seed: int = 0,
+    network_factory: Optional[Callable] = None,
+    randomization_fn=None,
+    progress_fn: Optional[Callable] = None,
+    policy_params_fn: Optional[Callable] = None,
+    restore_checkpoint_path: Optional[str] = None,
+    mesh: Optional[Mesh] = None,
+    num_timesteps_override_warning: bool = False,
+):
+    """Train PPO; returns (make_policy, (normalizer, params), metrics).
+
+    Call signature and return contract mirror brax ppo.train as consumed by
+    the reference runner (common/runner.py:104-118): `params[0]` is the obs
+    normalizer, `params[1].policy["params"]` the policy MLP pytree.
+    """
+    assert num_envs == batch_size * num_minibatches, (
+        "brax-PPO layout requires num_envs == batch_size * num_minibatches"
+    )
+    key = jax.random.PRNGKey(seed)
+    key, env_key, net_key, rand_key = jax.random.split(key, 4)
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("env",))
+    n_dev = mesh.devices.size
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    sh_env = NamedSharding(mesh, P("env"))
+    sh_rep = NamedSharding(mesh, P())
+
+    train_env = TrainEnv(
+        environment,
+        num_envs=num_envs,
+        episode_length=episode_length,
+        action_repeat=action_repeat,
+        randomization_fn=randomization_fn,
+        randomization_rng=rand_key,
+    )
+
+    obs_sizes = {k: v[0] for k, v in environment.observation_size.items()}
+    action_size = environment.action_size
+    nf_kwargs = {}
+    if network_factory is not None:
+        nf_kwargs = network_factory if isinstance(network_factory, dict) else {}
+    network = nets.PPONetworks(obs_sizes, action_size, **nf_kwargs)
+
+    params = network.init(net_key)
+    normalizer = nets.rs_init(obs_sizes)
+
+    tx = optax.adam(learning_rate=learning_rate)
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    opt_state = tx.init(params)
+
+    training_state = TrainingState(
+        params=params, normalizer=normalizer, opt_state=opt_state,
+        env_steps=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+    )
+
+    if restore_checkpoint_path is not None:
+        from open_duck_playground_tpu.train import checkpoint as ckpt
+
+        normalizer, params = ckpt.load(restore_checkpoint_path, (normalizer, params))
+        training_state = training_state.replace(params=params, normalizer=normalizer)
+
+    stochastic_policy = network.make_policy_fn(deterministic=False)
+    eval_policy = network.make_policy_fn(deterministic=deterministic_eval)
+
+    def make_policy(full_params, deterministic: bool = False):
+        fn = network.make_policy_fn(deterministic=deterministic)
+        return functools.partial(fn, full_params)
+
+    # ------------------------------------------------------------------
+    # loss (data leaves: [T, b, ...])
+    # ------------------------------------------------------------------
+    def loss_fn(params, normalizer, data: Transition, rng):
+        logits = network.policy_logits(params, normalizer, data.observation)
+        loc, scale = nets.dist_create(logits)
+        baseline = network.value(params, normalizer, data.observation)
+        terminal_obs = jax.tree_util.tree_map(lambda x: x[-1], data.next_observation)
+        bootstrap_value = network.value(params, normalizer, terminal_obs)
+
+        rewards = data.reward * reward_scaling
+        truncation = data.truncation
+        termination = (1 - data.discount) * (1 - truncation)
+
+        target_lp = nets.dist_log_prob(loc, scale, data.raw_action)
+        rho = jnp.exp(target_lp - data.log_prob)
+
+        vs, advantages = compute_gae(
+            truncation, termination, rewards, baseline, bootstrap_value,
+            lambda_=gae_lambda, discount=discounting,
+        )
+        if normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+
+        surrogate1 = rho * advantages
+        surrogate2 = jnp.clip(rho, 1 - clipping_epsilon, 1 + clipping_epsilon) * advantages
+        policy_loss = -jnp.mean(jnp.minimum(surrogate1, surrogate2))
+
+        v_error = vs - baseline
+        v_loss = jnp.mean(v_error * v_error) * 0.5 * 0.5
+
+        entropy = jnp.mean(nets.dist_entropy(loc, scale, rng))
+        entropy_loss = -entropy_cost * entropy
+
+        total = policy_loss + v_loss + entropy_loss
+        return total, {
+            "total_loss": total,
+            "policy_loss": policy_loss,
+            "v_loss": v_loss,
+            "entropy_loss": entropy_loss,
+        }
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    # ------------------------------------------------------------------
+    # one training step: rollout + normalizer update + SGD epochs
+    # ------------------------------------------------------------------
+    def rollout(env_state, full_params, key):
+        def step_fn(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            action, extras = stochastic_policy(full_params, state.obs, k)
+            nstate = train_env.step(state, action)
+            t = Transition(
+                observation=state.obs,
+                action=action,
+                reward=nstate.reward,
+                discount=1.0 - nstate.done,
+                next_observation=nstate.obs,
+                truncation=nstate.info["truncation"],
+                raw_action=extras["raw_action"],
+                log_prob=extras["log_prob"],
+            )
+            return (nstate, key), t
+
+        (env_state, _), data = jax.lax.scan(
+            step_fn, (env_state, key), None, length=unroll_length
+        )
+        return env_state, data  # leaves [T, num_envs, ...]
+
+    def sgd_step(training_state: TrainingState, data: Transition, key):
+        if normalize_observations:
+            normalizer = nets.rs_update(training_state.normalizer, data.observation)
+        else:
+            normalizer = training_state.normalizer
+
+        def minibatch_step(carry, mb_data):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            (_, aux), grads = grad_fn(params, normalizer, mb_data, k)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), aux
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kperm, kmb = jax.random.split(key, 3)
+            perm = jax.random.permutation(kperm, num_envs)
+            shuf = jax.tree_util.tree_map(lambda x: jnp.take(x, perm, axis=1), data)
+            mb = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (x.shape[0], num_minibatches, batch_size) + x.shape[2:]
+                ).swapaxes(0, 1),
+                shuf,
+            )
+            (params, opt_state, _), aux = jax.lax.scan(
+                minibatch_step, (params, opt_state, kmb), mb
+            )
+            return (params, opt_state, key), aux
+
+        (params, opt_state, _), aux = jax.lax.scan(
+            epoch,
+            (training_state.params, training_state.opt_state, key),
+            None,
+            length=num_updates_per_batch,
+        )
+        return training_state.replace(
+            params=params, normalizer=normalizer, opt_state=opt_state
+        ), aux
+
+    env_step_per_training_step = batch_size * unroll_length * num_minibatches * action_repeat
+    num_evals_after_init = max(num_evals - 1, 1)
+    num_training_steps_per_epoch = int(
+        np.ceil(num_timesteps / (num_evals_after_init * env_step_per_training_step))
+    )
+
+    def training_step(carry, _):
+        training_state, env_state, key = carry
+        key, k_roll, k_sgd = jax.random.split(key, 3)
+        env_state, data = rollout(
+            env_state, (training_state.normalizer, training_state.params), k_roll
+        )
+        training_state, aux = sgd_step(training_state, data, k_sgd)
+        training_state = training_state.replace(
+            env_steps=training_state.env_steps + env_step_per_training_step
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, aux)
+        return (training_state, env_state, key), metrics
+
+    # NOTE: env_state cannot be donated: info["first_data"]/"first_obs"
+    # alias state.data/state.obs buffers right after reset (XLA output
+    # aliasing), and donating aliased buffers is an error.
+    @jax.jit
+    def training_epoch(training_state, env_state, key):
+        (training_state, env_state, key), metrics = jax.lax.scan(
+            training_step, (training_state, env_state, key), None,
+            length=num_training_steps_per_epoch,
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        return training_state, env_state, key, metrics
+
+    # ------------------------------------------------------------------
+    # evaluator
+    # ------------------------------------------------------------------
+    eval_wrapped = None
+    if eval_env is not None:
+        eval_wrapped = TrainEnv(
+            eval_env, num_envs=num_eval_envs, episode_length=episode_length,
+            action_repeat=action_repeat, randomization_fn=None,
+        )
+
+        @jax.jit
+        def run_eval(full_params, key):
+            key, reset_key = jax.random.split(key)
+            state = eval_wrapped.reset(reset_key)
+            metric_keys = {k: jnp.zeros(num_eval_envs) for k in state.metrics}
+
+            def step_fn(carry, _):
+                state, active, sums, metric_sums, length, key = carry
+                key, k = jax.random.split(key)
+                action, _ = eval_policy(full_params, state.obs, k)
+                nstate = eval_wrapped.step(state, action)
+                sums = sums + nstate.reward * active
+                metric_sums = {
+                    k2: v + nstate.metrics[k2] * active for k2, v in metric_sums.items()
+                }
+                length = length + active
+                active = active * (1.0 - nstate.done)
+                return (nstate, active, sums, metric_sums, length, key), None
+
+            active0 = jnp.ones(num_eval_envs)
+            sums0 = jnp.zeros(num_eval_envs)
+            len0 = jnp.zeros(num_eval_envs)
+            (state, active, sums, metric_sums, lengths, _), _ = jax.lax.scan(
+                step_fn,
+                (state, active0, sums0, metric_keys, len0, key),
+                None,
+                length=episode_length // action_repeat,
+            )
+            out = {
+                "eval/episode_reward": jnp.mean(sums),
+                "eval/episode_reward_std": jnp.std(sums),
+                "eval/avg_episode_length": jnp.mean(lengths),
+            }
+            for k2, v in metric_sums.items():
+                out[f"eval/episode_{k2}"] = jnp.mean(v)
+            return out
+
+    # ------------------------------------------------------------------
+    # main loop (host-side orchestration; device work stays sharded)
+    # ------------------------------------------------------------------
+    key, reset_key, epoch_key, eval_key = jax.random.split(key, 4)
+    env_state = jax.jit(train_env.reset, out_shardings=sh_env)(reset_key)
+    training_state = jax.device_put(training_state, sh_rep)
+
+    metrics: Dict[str, float] = {}
+
+    def _eval_and_report(step_count: int):
+        nonlocal metrics, eval_key
+        if eval_wrapped is not None:
+            eval_key, k = jax.random.split(eval_key)
+            eval_metrics = run_eval(
+                (training_state.normalizer, training_state.params), k
+            )
+            metrics = {k2: float(v) for k2, v in eval_metrics.items()}
+        if progress_fn is not None:
+            progress_fn(step_count, metrics)
+        if policy_params_fn is not None:
+            policy_params_fn(
+                step_count, make_policy,
+                (training_state.normalizer, training_state.params),
+            )
+
+    _eval_and_report(0)
+
+    walltimes = []
+    for epoch_i in range(num_evals_after_init):
+        t0 = time.monotonic()
+        training_state, env_state, epoch_key, train_metrics = training_epoch(
+            training_state, env_state, epoch_key
+        )
+        jax.block_until_ready(training_state.env_steps)
+        walltimes.append(time.monotonic() - t0)
+        sps = num_training_steps_per_epoch * env_step_per_training_step / walltimes[-1]
+        metrics = {f"training/{k}": float(v) for k, v in train_metrics.items()}
+        metrics["training/sps"] = sps
+        metrics["training/walltime"] = sum(walltimes)
+        _eval_and_report(int(training_state.env_steps))
+
+    full_params = (training_state.normalizer, training_state.params)
+    return make_policy, full_params, metrics

@@ -1,0 +1,152 @@
+"""Training runner CLI (parity with reference open_duck_mini_v2/runner.py +
+common/runner.py): picks the env (joystick/standing) and task, wires domain
+randomization, trains PPO with TensorBoard logging, checkpoints + ONNX
+export at every eval.
+
+Usage:
+    python -m open_duck_playground_tpu.train.runner \
+        --env joystick --task flat_terrain --num_timesteps 150000000 \
+        --output_dir checkpoints [--restore_checkpoint_path P] \
+        [--num_envs 8192] [--no_domain_randomization]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from datetime import datetime
+from pathlib import Path
+
+from open_duck_playground_tpu.envs import joystick, randomize, standing
+from open_duck_playground_tpu.train import checkpoint as ckpt
+from open_duck_playground_tpu.train import ppo
+from open_duck_playground_tpu.train.config import brax_ppo_config
+from open_duck_playground_tpu.utils.cache import setup_compilation_cache
+
+
+class BaseRunner:
+    """Train orchestration: TB writer, PPO recipe, progress/ckpt callbacks."""
+
+    def __init__(self, args: argparse.Namespace) -> None:
+        self.args = args
+        self.output_dir = Path.cwd() / Path(args.output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        setup_compilation_cache()
+
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=str(self.output_dir))
+        self.env = None
+        self.eval_env = None
+        self.randomizer = None
+        self.action_size = None
+        self.obs_size = None
+        self.num_timesteps = args.num_timesteps
+        self.restore_checkpoint_path = None
+
+    def progress_callback(self, num_steps: int, metrics: dict) -> None:
+        for name, value in metrics.items():
+            self.writer.add_scalar(name, value, num_steps)
+        print("-----------")
+        reward = metrics.get("eval/episode_reward", float("nan"))
+        reward_std = metrics.get("eval/episode_reward_std", float("nan"))
+        print(f"STEP: {num_steps} reward: {reward} reward_std: {reward_std}")
+        if "training/sps" in metrics:
+            print(f"  env-steps/s: {metrics['training/sps']:.0f}")
+        print("-----------", flush=True)
+
+    def policy_params_fn(self, current_step, make_policy, params):
+        del make_policy
+        d = datetime.now().strftime("%Y_%m_%d_%H%M%S")
+        path = f"{self.output_dir}/{d}_{current_step}"
+        print(f"Saving checkpoint (step: {current_step}): {path}")
+        ckpt.save(path, params)
+        if not self.args.skip_onnx_export:
+            from open_duck_playground_tpu.export.export import export_onnx
+
+            onnx_path = f"{self.output_dir}/{d}_{current_step}.onnx"
+            try:
+                export_onnx(
+                    params, self.action_size, self.ppo_params, self.obs_size,
+                    output_path=onnx_path,
+                )
+            except Exception as e:  # keep training alive if export breaks
+                print(f"ONNX export failed: {e}")
+
+    def train(self) -> None:
+        self.ppo_params = brax_ppo_config("BerkeleyHumanoidJoystickFlatTerrain")
+        overrides = {
+            "num_timesteps": self.num_timesteps,
+            "num_envs": self.args.num_envs,
+            "batch_size": self.args.num_envs // self.ppo_params.num_minibatches,
+            "num_evals": self.args.num_evals,
+        }
+        for k, v in overrides.items():
+            setattr(self.ppo_params, k, v)
+        training_params = dict(self.ppo_params)
+        network_cfg = dict(training_params.pop("network_factory"))
+        network_cfg["policy_hidden_layer_sizes"] = tuple(
+            network_cfg["policy_hidden_layer_sizes"]
+        )
+        network_cfg["value_hidden_layer_sizes"] = tuple(
+            network_cfg["value_hidden_layer_sizes"]
+        )
+        print(f"PPO params: {training_params}")
+
+        train_fn = functools.partial(
+            ppo.train,
+            **training_params,
+            network_factory=network_cfg,
+            randomization_fn=self.randomizer,
+            progress_fn=self.progress_callback,
+            policy_params_fn=self.policy_params_fn,
+            restore_checkpoint_path=self.restore_checkpoint_path,
+            seed=self.args.seed,
+        )
+        _, params, _ = train_fn(environment=self.env, eval_env=self.eval_env)
+        return params
+
+
+class OpenDuckMiniV2Runner(BaseRunner):
+    def __init__(self, args):
+        super().__init__(args)
+        available_envs = {
+            "joystick": (joystick, joystick.Joystick),
+            "standing": (standing, standing.Standing),
+        }
+        if args.env not in available_envs:
+            raise ValueError(f"Unknown env {args.env}")
+        module, cls = available_envs[args.env]
+        self.env_config = module.default_config()
+        self.env = cls(task=args.task)
+        self.eval_env = cls(task=args.task)
+        self.randomizer = (
+            None if args.no_domain_randomization else randomize.domain_randomize
+        )
+        self.action_size = self.env.action_size
+        self.obs_size = int(self.env.observation_size["state"][0])
+        self.restore_checkpoint_path = args.restore_checkpoint_path
+        print(f"Observation size: {self.obs_size}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Open Duck Mini Runner Script")
+    parser.add_argument("--output_dir", type=str, default="checkpoints")
+    parser.add_argument("--num_timesteps", type=int, default=150_000_000)
+    parser.add_argument("--env", type=str, default="joystick")
+    parser.add_argument("--task", type=str, default="flat_terrain")
+    parser.add_argument("--restore_checkpoint_path", type=str, default=None)
+    parser.add_argument("--num_envs", type=int, default=8192)
+    parser.add_argument("--num_evals", type=int, default=15)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no_domain_randomization", action="store_true")
+    parser.add_argument("--skip_onnx_export", action="store_true")
+    args = parser.parse_args()
+
+    runner = OpenDuckMiniV2Runner(args)
+    runner.train()
+
+
+if __name__ == "__main__":
+    main()

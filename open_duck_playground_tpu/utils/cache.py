@@ -13,6 +13,12 @@ import os
 def setup_compilation_cache(cache_dir: str = ".tmp/jax_cache") -> None:
     import jax
 
+    # The XLA:CPU AOT cache in this image records machine features that
+    # mismatch the execution host (observed "+prefer-no-scatter ... could
+    # lead to SIGILL" warnings followed by real crashes in the thunk
+    # executor), so the persistent cache is only safe for TPU backends.
+    if jax.default_backend() == "cpu":
+        return
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

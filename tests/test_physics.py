@@ -354,3 +354,24 @@ def test_determinism(flat_model):
 
     a, b = run(), run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_rough_terrain_hfield_stands():
+    """Backlash robot stands on the heightfield scene (hfield collider path)."""
+    from tests.conftest import ROUGH_SCENE
+
+    m = compile_mjcf(ROUGH_SCENE, timestep=0.002)
+    assert m.hfield_nrow == 256 and m.hfield_ncol == 256
+    kf = m.keyframe("home")
+    d = fwd.init(m, jnp.asarray(kf.qpos, jnp.float32), jnp.zeros(m.nv),
+                 jnp.asarray(kf.ctrl, jnp.float32))
+    # feet touch the terrain at init
+    assert (np.asarray(d.contact.dist) < 0).sum() >= 4
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+    step10 = jax.jit(lambda d: fwd.step_n(m, d, ctrl, 10))
+    for _ in range(50):
+        d = step10(d)
+    assert not bool(jnp.isnan(d.qpos).any())
+    assert 0.1 < float(d.qpos[2]) < 0.3
+    up_z = float(d.sensordata[11])
+    assert up_z > 0.9
