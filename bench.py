@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 BASELINE_TARGET_STEPS_PER_SEC = 10_000.0
@@ -25,7 +26,7 @@ BASELINE_TARGET_STEPS_PER_SEC = 10_000.0
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--num_envs", type=int, default=4096)
-    parser.add_argument("--steps", type=int, default=50, help="control steps to time")
+    parser.add_argument("--steps", type=int, default=20, help="control steps to time")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--no_dr", action="store_true")
     args = parser.parse_args()
@@ -55,25 +56,37 @@ def main() -> None:
     )
 
     reset = jax.jit(train_env.reset)
+
     step = jax.jit(train_env.step)
 
-    state = reset(jax.random.PRNGKey(1))
-    key = jax.random.PRNGKey(2)
-
-    def rand_action(key):
-        return jax.random.uniform(
-            key, (args.num_envs, env.action_size), minval=-1.0, maxval=1.0
-        )
-
-    # warmup / compile
-    key, k = jax.random.split(key)
-    state = step(state, rand_action(k))
-    jax.block_until_ready(state.reward)
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        key, k = jax.random.split(key)
-        state = step(state, rand_action(k))
+    state = reset(jax.random.PRNGKey(1))
+    jax.block_until_ready(state.reward)
+    log(f"[bench] reset done in {time.perf_counter() - t0:.1f}s")
+
+    # pre-generated random actions: the timed loop dispatches only the jitted
+    # env step (back-to-back async; one sync at the end), like the trainer's
+    # rollout. A scanned mega-program compiles pathologically slowly on the
+    # remote-compile tunnel, so the loop stays host-side.
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(2),
+        (args.steps, args.num_envs, env.action_size),
+        minval=-1.0, maxval=1.0,
+    )
+    jax.block_until_ready(actions)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    state = step(state, actions[0])
+    jax.block_until_ready(state.reward)
+    log(f"[bench] step compile+warmup in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state = step(state, actions[i])
     jax.block_until_ready(state.reward)
     dt = time.perf_counter() - t0
 

@@ -48,6 +48,7 @@ class OpenDuckMiniV2Env:
 
         self._model = compile_mjcf(xml_path, timestep=self._config.sim_dt)
         self._xml_path = xml_path
+        self._physics_step_fn = None
         m = self._model
 
         jnt_names = m.names.list("joint")
@@ -106,6 +107,41 @@ class OpenDuckMiniV2Env:
     @property
     def n_substeps(self) -> int:
         return int(round(self._config.ctrl_dt / self._config.sim_dt))
+
+    # --- physics dispatch ---------------------------------------------------
+    def physics_step(self, model: Model, data: Data, ctrl: jax.Array) -> Data:
+        """n_substeps of physics with ctrl held fixed.
+
+        Dispatches to the fused Pallas kernel (ops/pallas_step.py) on a
+        single TPU chip with flat-terrain scenes; otherwise (CPU tests,
+        heightfield scenes, multi-chip GSPMD) the XLA pipeline. The fused
+        path is a custom_vmap: unbatched calls always take the XLA path.
+        Override with DUCK_FUSED_STEP=0/1 (default auto).
+        """
+        if self._physics_step_fn is None:
+            import os as _os
+
+            mode = _os.environ.get("DUCK_FUSED_STEP", "auto")
+            if mode == "1":
+                use_fused = True
+            elif mode == "0":
+                use_fused = False
+            else:
+                from open_duck_playground_tpu.ops import pallas_step as _ps
+
+                use_fused = (
+                    jax.default_backend() == "tpu"
+                    and jax.device_count() == 1
+                    and _ps.supports_model(self._model)
+                )
+            if use_fused:
+                from open_duck_playground_tpu.ops import pallas_step as _ps
+
+                self._physics_step_fn = _ps.make_fused_step_n(self.n_substeps)
+            else:
+                n = self.n_substeps
+                self._physics_step_fn = lambda m, d, c: fwd.step_n(m, d, c, n)
+        return self._physics_step_fn(model, data, ctrl)
 
     # --- model ------------------------------------------------------------
     @property

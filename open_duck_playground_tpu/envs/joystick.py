@@ -305,7 +305,7 @@ class Joystick(duck_base.OpenDuckMiniV2Env):
             lim = self._config.max_motor_velocity * self.dt
             motor_targets = jnp.clip(motor_targets, prev - lim, prev + lim)
 
-        data = fwd.step_n(model, data, motor_targets, self.n_substeps)
+        data = self.physics_step(model, data, motor_targets)
         info["motor_targets"] = motor_targets
 
         contact = jnp.array(

@@ -241,7 +241,7 @@ class Standing(duck_base.OpenDuckMiniV2Env):
         motor_targets = (
             self._default_actuator + action_w_delay * self._config.action_scale
         )
-        data = fwd.step_n(model, data, motor_targets, self.n_substeps)
+        data = self.physics_step(model, data, motor_targets)
         info["motor_targets"] = motor_targets
 
         contact = jnp.array(

@@ -1,0 +1,274 @@
+"""Lane-layout math helpers for the fused Pallas physics kernel.
+
+Inside the fused kernel (ops/pallas_step.py) every per-env scalar is an
+(8, 128) f32 tile: one VPU register holding 1024 environments ("lanes").
+Geometric objects are plain python lists of such tiles:
+
+    vec3  = [x, y, z]
+    quat  = [w, x, y, z]
+    mat3  = [m00, m01, m02, m10, ..., m22]        (row major)
+    vec6  = [wx, wy, wz, vx, vy, vz]              (spatial motion/force)
+    sym6  = 21 entries, lower triangle row major:
+            [(0,0),(1,0),(1,1),(2,0),(2,1),(2,2),(3,0)...(5,5)]
+
+Every function below is pure elementwise math over tiles, so the whole
+pipeline compiles to straight-line VPU code with no gathers, transposes, or
+cross-lane traffic. Constants may be python floats (broadcast for free).
+
+The same functions also run under plain XLA/numpy (tiles are just arrays),
+which is how the golden tests validate them against ops/math3d.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# vec3
+# ---------------------------------------------------------------------------
+
+
+def v3_add(a, b):
+    return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+
+
+def v3_sub(a, b):
+    return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
+
+
+def v3_scale(a, s):
+    return [a[0] * s, a[1] * s, a[2] * s]
+
+
+def v3_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def v3_cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+# ---------------------------------------------------------------------------
+# quaternion (w, x, y, z); conventions of ops/math3d.py
+# ---------------------------------------------------------------------------
+
+
+def q_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return [
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ]
+
+
+def q_rot(q, v):
+    """Rotate vec3 v by quaternion q (local -> world)."""
+    qw = q[0]
+    qv = q[1:4]
+    uv = v3_cross(qv, v)
+    t = v3_add(v3_scale(uv, qw), v3_cross(qv, uv))
+    return v3_add(v, v3_scale(t, 2.0))
+
+
+def q_rot_inv(q, v):
+    return q_rot([q[0], -q[1], -q[2], -q[3]], v)
+
+
+def q_normalize(q):
+    n2 = q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
+    inv = jnp.float32(1.0) / jnp.sqrt(n2)
+    return [q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv]
+
+
+def q_to_mat(q):
+    """Quaternion -> mat3 (row major, columns = local axes in world)."""
+    w, x, y, z = q
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return [
+        1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+        2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+        2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+    ]
+
+
+def axis_angle_q(axis_const, angle):
+    """Constant unit axis (python floats) + per-lane angle -> quat."""
+    s = jnp.sin(angle * 0.5)
+    c = jnp.cos(angle * 0.5)
+    return [c, axis_const[0] * s, axis_const[1] * s, axis_const[2] * s]
+
+
+def q_integrate(q, w_local, dt):
+    """mju_quatIntegrate: q <- normalize(q * exp(w_local dt / 2))."""
+    n2 = v3_dot(w_local, w_local)
+    angle = jnp.sqrt(n2)
+    safe = jnp.where(angle > 1e-12, angle, 1.0)
+    half = angle * (dt * 0.5)
+    s = jnp.sin(half) / safe
+    dq = [jnp.cos(half), w_local[0] * s, w_local[1] * s, w_local[2] * s]
+    return q_normalize(q_mul(q, dq))
+
+
+# ---------------------------------------------------------------------------
+# mat3 (row-major list of 9)
+# ---------------------------------------------------------------------------
+
+
+def m3_vec(m, v):
+    """Matrix * vector."""
+    return [
+        m[0] * v[0] + m[1] * v[1] + m[2] * v[2],
+        m[3] * v[0] + m[4] * v[1] + m[5] * v[2],
+        m[6] * v[0] + m[7] * v[1] + m[8] * v[2],
+    ]
+
+
+def m3_t_vec(m, v):
+    """Matrix^T * vector."""
+    return [
+        m[0] * v[0] + m[3] * v[1] + m[6] * v[2],
+        m[1] * v[0] + m[4] * v[1] + m[7] * v[2],
+        m[2] * v[0] + m[5] * v[1] + m[8] * v[2],
+    ]
+
+
+def m3_col(m, j):
+    return [m[j], m[3 + j], m[6 + j]]
+
+
+def m3_row(m, i):
+    return [m[3 * i], m[3 * i + 1], m[3 * i + 2]]
+
+
+# ---------------------------------------------------------------------------
+# spatial 6-vectors (angular[3], linear[3])
+# ---------------------------------------------------------------------------
+
+
+def v6_add(a, b):
+    return [a[i] + b[i] for i in range(6)]
+
+
+def v6_scale(a, s):
+    return [a[i] * s for i in range(6)]
+
+
+def v6_dot(a, b):
+    return sum(a[i] * b[i] for i in range(6))
+
+
+def motion_cross(vel, m):
+    """(w1,v1) x (w2,v2) = (w1 x w2, w1 x v2 + v1 x w2)."""
+    w1, v1 = vel[:3], vel[3:]
+    w2, v2 = m[:3], m[3:]
+    return v3_cross(w1, w2) + v3_add(v3_cross(w1, v2), v3_cross(v1, w2))
+
+
+def force_cross(vel, f):
+    """(w,v) x* (n,f) = (w x n + v x f, w x f)."""
+    w, v = vel[:3], vel[3:]
+    n, fo = f[:3], f[3:]
+    return v3_add(v3_cross(w, n), v3_cross(v, fo)) + v3_cross(w, fo)
+
+
+# ---------------------------------------------------------------------------
+# sym6: symmetric 6x6 as 21 lower-triangle entries (row major)
+# ---------------------------------------------------------------------------
+
+_SYM6_IDX = {}
+for _i in range(6):
+    for _j in range(_i + 1):
+        _SYM6_IDX[(_i, _j)] = len(_SYM6_IDX)
+
+
+def sym6_get(s, i, j):
+    return s[_SYM6_IDX[(i, j)]] if i >= j else s[_SYM6_IDX[(j, i)]]
+
+
+def sym6_add(a, b):
+    return [a[k] + b[k] for k in range(21)]
+
+
+def sym6_vec(s, v):
+    """Symmetric 6x6 times 6-vector."""
+    return [
+        sum(sym6_get(s, i, j) * v[j] for j in range(6))
+        for i in range(6)
+    ]
+
+
+def spatial_inertia_sym(mass, inertia_world_m3, c):
+    """sym6 spatial inertia about origin O (see math3d.spatial_inertia).
+
+    mass: tile (or float); inertia_world_m3: mat3 (list of 9, symmetric);
+    c: vec3 from O to body com (world).
+
+    [[I_c - m [c]x[c]x ,  m [c]x ],
+     [    -m [c]x      ,  m 1_3  ]]
+    Note the 6x6 is symmetric: (m [c]x)^T = -m [c]x = bottom-left.
+    """
+    cx, cy, cz = c
+    # -[c]x[c]x = diag(cy^2+cz^2, cx^2+cz^2, cx^2+cy^2) - off diag terms
+    xx = mass * (cy * cy + cz * cz)
+    yy = mass * (cx * cx + cz * cz)
+    zz = mass * (cx * cx + cy * cy)
+    xy = -mass * (cx * cy)
+    xz = -mass * (cx * cz)
+    yz = -mass * (cy * cz)
+    I = inertia_world_m3
+    out = [None] * 21
+    # top-left block (rows 0..2)
+    out[_SYM6_IDX[(0, 0)]] = I[0] + xx
+    out[_SYM6_IDX[(1, 0)]] = I[3] + xy
+    out[_SYM6_IDX[(1, 1)]] = I[4] + yy
+    out[_SYM6_IDX[(2, 0)]] = I[6] + xz
+    out[_SYM6_IDX[(2, 1)]] = I[7] + yz
+    out[_SYM6_IDX[(2, 2)]] = I[8] + zz
+    # bottom-left block (rows 3..5, cols 0..2): m [c]x^T = -m [c]x
+    # [c]x = [[0,-cz,cy],[cz,0,-cx],[-cy,cx,0]]; block(i,j) = (m [c]x)^T_{ij}
+    # = m [c]x_{ji}
+    zero = mass * 0.0
+    mcx = mass * cx
+    mcy = mass * cy
+    mcz = mass * cz
+    out[_SYM6_IDX[(3, 0)]] = zero
+    out[_SYM6_IDX[(3, 1)]] = mcz
+    out[_SYM6_IDX[(3, 2)]] = -mcy
+    out[_SYM6_IDX[(4, 0)]] = -mcz
+    out[_SYM6_IDX[(4, 1)]] = zero
+    out[_SYM6_IDX[(4, 2)]] = mcx
+    out[_SYM6_IDX[(5, 0)]] = mcy
+    out[_SYM6_IDX[(5, 1)]] = -mcx
+    out[_SYM6_IDX[(5, 2)]] = zero
+    # bottom-right block: m I_3
+    out[_SYM6_IDX[(3, 3)]] = mass * 1.0
+    out[_SYM6_IDX[(4, 3)]] = zero
+    out[_SYM6_IDX[(4, 4)]] = mass * 1.0
+    out[_SYM6_IDX[(5, 3)]] = zero
+    out[_SYM6_IDX[(5, 4)]] = zero
+    out[_SYM6_IDX[(5, 5)]] = mass * 1.0
+    return out
+
+
+def rotate_inertia(diag_inertia, ximat):
+    """R diag(I) R^T as mat3 (list of 9) from principal moments + rotation."""
+    ix, iy, iz = diag_inertia
+    R = ximat
+    out = []
+    for r in range(3):
+        for c in range(3):
+            out.append(
+                R[3 * r + 0] * ix * R[3 * c + 0]
+                + R[3 * r + 1] * iy * R[3 * c + 1]
+                + R[3 * r + 2] * iz * R[3 * c + 2]
+            )
+    return out

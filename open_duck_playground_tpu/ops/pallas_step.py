@@ -1,0 +1,330 @@
+"""Fused Pallas TPU kernel: the whole n-substep physics step in one launch.
+
+Wraps ops/lane_physics.LanePhysics in a `pl.pallas_call`: environments are
+vector lanes — each program instance holds a (8, 128) tile per scalar
+quantity (1024 envs) entirely in VMEM and runs all 10 substeps of a control
+step with zero intermediate HBM traffic. The XLA pipeline (ops/forward.py)
+compiles the same math into thousands of small HBM-bound kernels; this
+kernel replaces them with one straight-line VPU program.
+
+Integration: `make_fused_step_n(model, n_substeps)` returns a drop-in for
+`fwd.step_n` wrapped in `jax.custom_batching.custom_vmap` — unbatched calls
+(driver compile checks, single-env debugging) fall back to the XLA path,
+while the vmapped call inside the training wrapper dispatches to the fused
+kernel. Used on a single TPU chip with flat-terrain scenes; heightfield
+scenes and multi-chip GSPMD runs stay on the XLA path (a pallas_call has no
+partitioning rule, so GSPMD would gather the env axis onto one chip).
+
+Fidelity: validated against ops/forward.py by tests/test_lane.py (solver
+inputs to ~1e-4; full substeps on settled states; standing trajectories) —
+see the branch-sensitivity note there about iterations=1 Newton parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from open_duck_playground_tpu.ops import forward as fwd
+from open_duck_playground_tpu.ops.lane_physics import DR_FIELDS, LanePhysics
+from open_duck_playground_tpu.ops.types import Data, Model, PairType
+
+# (8, 128) = one f32 VPU register per tile; overridable only for
+# interpret-mode tests (real TPUs require the (8, 128) tiling).
+SUB = int(os.environ.get("DUCK_PALLAS_SUB", "8"))
+LANE = int(os.environ.get("DUCK_PALLAS_LANE", "128"))
+BLOCK = SUB * LANE  # envs per program instance
+
+# DR field shapes (per env), in fixed kernel-input order
+_DR_SHAPES = {
+    "geom_friction": ("ngeom", 3),
+    "body_ipos": ("nbody", 3),
+    "dof_frictionloss": ("nv",),
+    "dof_armature": ("nv",),
+    "body_mass": ("nbody",),
+    "qpos0": ("nq",),
+    "actuator_gainprm": ("nu", 3),
+    "actuator_biasprm": ("nu", 3),
+}
+
+
+def _field_rows(m: Model, field: str) -> int:
+    dims = _DR_SHAPES[field]
+    n = 1
+    for d in dims:
+        n *= getattr(m, d) if isinstance(d, str) else d
+    return n
+
+
+def supports_model(m: Model) -> bool:
+    """Flat-terrain scenes only (no heightfield pairs)."""
+    return not any(int(t) == PairType.HFIELD_HULL for t in m.pair_type)
+
+
+def _to_lane_layout(x: jax.Array) -> jax.Array:
+    """(B, n) -> (n, NB, SUB, LANE) with env index = nb*BLOCK + s*LANE + l."""
+    B, n = x.shape
+    return x.T.reshape(n, B // BLOCK, SUB, LANE)
+
+
+def _from_lane_layout(x: jax.Array) -> jax.Array:
+    """(n, NB, SUB, LANE) -> (B, n)."""
+    n = x.shape[0]
+    return x.reshape(n, -1).T
+
+
+def _nest_dr(lane: LanePhysics, field: str, ref):
+    """Rebuild the nested [i][j] tile structure of a flattened DR field ref."""
+    dims = _DR_SHAPES[field]
+    if len(dims) == 1:
+        n = _field_rows(lane.m, field)
+        return [ref[i, 0] for i in range(n)]
+    n0 = getattr(lane.m, dims[0])
+    n1 = dims[1]
+    return [[ref[i * n1 + j, 0] for j in range(n1)] for i in range(n0)]
+
+
+@functools.lru_cache(maxsize=8)
+def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
+    """Build the pallas kernel for a LanePhysics instance (cached)."""
+    lane = _LANE_REGISTRY[lane_key]
+    m = lane.m
+
+    n_out = {
+        "qpos": m.nq,
+        "qvel": m.nv,
+        "sensordata": m.nsensordata,
+        "actuator_force": m.nu,
+        "contact_dist": m.ncon,
+        "site_xpos": m.nsite * 3,
+        "site_xmat": m.nsite * 9,
+    }
+
+    def kernel(*refs):
+        if with_dr:
+            qpos_ref, qvel_ref, ctrl_ref = refs[0], refs[1], refs[2]
+            dr_refs = refs[3 : 3 + len(DR_FIELDS)]
+            out_refs = refs[3 + len(DR_FIELDS):]
+            dr = {
+                f: _nest_dr(lane, f, r) for f, r in zip(DR_FIELDS, dr_refs)
+            }
+        else:
+            qpos_ref, qvel_ref, ctrl_ref = refs[0], refs[1], refs[2]
+            out_refs = refs[3:]
+            dr = None
+
+        qpos = [qpos_ref[i, 0] for i in range(m.nq)]
+        qvel = [qvel_ref[i, 0] for i in range(m.nv)]
+        ctrl = [ctrl_ref[i, 0] for i in range(m.nu)]
+
+        # n-1 derived-free substeps under fori_loop (one trace), then the
+        # final substep with derived outputs (mjx_env.step semantics)
+        if n_substeps > 1:
+            def body(_, carry):
+                qp, qv = carry
+                qp, qv, _ = lane.substep(qp, qv, ctrl, dr, want_derived=False)
+                return (qp, qv)
+
+            qpos, qvel = jax.lax.fori_loop(
+                0, n_substeps - 1, body, (qpos, qvel)
+            )
+        qpos, qvel, derived = lane.substep(qpos, qvel, ctrl, dr,
+                                           want_derived=True)
+
+        outs = {
+            "qpos": qpos,
+            "qvel": qvel,
+            "sensordata": derived["sensordata"],
+            "actuator_force": derived["actuator_force"],
+            "contact_dist": derived["contact_dist"],
+            "site_xpos": derived["site_xpos"],
+            "site_xmat": derived["site_xmat"],
+        }
+        for ref, name in zip(out_refs, n_out):
+            rows = outs[name]
+            for i in range(n_out[name]):
+                ref[i, 0] = jnp.broadcast_to(rows[i], (SUB, LANE)).astype(
+                    jnp.float32
+                )
+
+    def call(qpos_b, qvel_b, ctrl_b, dr_flat: Optional[Dict[str, jax.Array]]):
+        B = qpos_b.shape[0]
+        assert B % BLOCK == 0, (B, BLOCK)
+        nb = B // BLOCK
+
+        def spec(rows):
+            return pl.BlockSpec(
+                (rows, 1, SUB, LANE),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        inputs = [
+            _to_lane_layout(qpos_b),
+            _to_lane_layout(qvel_b),
+            _to_lane_layout(ctrl_b),
+        ]
+        in_specs = [spec(m.nq), spec(m.nv), spec(m.nu)]
+        if with_dr:
+            for f in DR_FIELDS:
+                x = dr_flat[f]
+                inputs.append(_to_lane_layout(x))
+                in_specs.append(spec(x.shape[1]))
+
+        out_shapes = [
+            jax.ShapeDtypeStruct((n, nb, SUB, LANE), jnp.float32)
+            for n in n_out.values()
+        ]
+        out_specs = [spec(n) for n in n_out.values()]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=bool(int(os.environ.get("DUCK_PALLAS_INTERPRET", "0"))),
+        )(*inputs)
+        return {k: _from_lane_layout(v) for k, v in zip(n_out, outs)}
+
+    return call
+
+
+_LANE_REGISTRY: Dict[int, LanePhysics] = {}
+
+
+def get_lane(m: Model) -> int:
+    """Register a LanePhysics for a model; key is id-stable per model object."""
+    key = id(m)
+    if key not in _LANE_REGISTRY:
+        _LANE_REGISTRY[key] = LanePhysics(m)
+    return key
+
+
+def fused_step_n_batched(
+    m: Model,
+    d: Data,
+    ctrl: jax.Array,
+    n_substeps: int,
+    dr_flat: Optional[Dict[str, jax.Array]] = None,
+) -> Data:
+    """Batched fused step: d leaves have a leading env axis of size B.
+
+    Returns a Data whose env-consumed fields (qpos, qvel, sensordata,
+    actuator_force, site_xpos, site_xmat, contact.dist) are updated; other
+    derived fields keep their previous (stale) values — nothing in the env
+    stack reads them after a step (envs/base.py accessors).
+    """
+    key = get_lane(m)
+    call = _build_kernel(key, n_substeps, dr_flat is not None)
+    out = call(d.qpos, d.qvel, ctrl, dr_flat)
+    B = d.qpos.shape[0]
+    nsite = m.nsite
+    contact = d.contact.replace(dist=out["contact_dist"])
+    return d.replace(
+        qpos=out["qpos"],
+        qvel=out["qvel"],
+        ctrl=jnp.broadcast_to(ctrl, d.ctrl.shape),
+        sensordata=out["sensordata"],
+        actuator_force=out["actuator_force"],
+        site_xpos=out["site_xpos"].reshape(B, nsite, 3),
+        site_xmat=out["site_xmat"].reshape(B, nsite, 3, 3),
+        contact=contact,
+        time=d.time + n_substeps * m.opt.timestep,
+    )
+
+
+def flatten_dr_fields(m_batched: Model) -> Dict[str, jax.Array]:
+    """Extract the DR-batched model fields as flat (B, rows) arrays."""
+    out = {}
+    for f in DR_FIELDS:
+        v = getattr(m_batched, f)
+        out[f] = v.reshape(v.shape[0], -1)
+    return out
+
+
+def make_fused_step_n(n_substeps: int):
+    """Drop-in for `lambda m, d, ctrl: fwd.step_n(m, d, ctrl, n)`:
+
+    unbatched -> XLA pipeline; vmapped -> fused pallas kernel (when the
+    batch divides the 1024-env block and the model has no heightfield).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def step_n(m: Model, d: Data, ctrl: jax.Array) -> Data:
+        return fwd.step_n(m, d, ctrl, n_substeps)
+
+    @step_n.def_vmap
+    def _rule(axis_size, in_batched, m, d, ctrl):
+        m_b, d_b, ctrl_b = in_batched
+        dr_batched = [
+            name for name in DR_FIELDS
+            if getattr(m_b, name, False) is True or getattr(m_b, name, None) == 0
+        ]
+        # which model leaves are batched?
+        batched_fields = set()
+        for name in DR_FIELDS:
+            flag = getattr(m_b, name, None)
+            if flag:
+                batched_fields.add(name)
+        other_batched = []
+        for fname in (
+            "body_pos", "body_quat", "body_iquat", "body_inertia",
+            "body_invweight0", "jnt_pos", "jnt_axis", "jnt_range",
+            "dof_damping", "dof_invweight0", "geom_pos", "geom_quat",
+            "site_pos", "site_quat", "actuator_ctrlrange",
+            "actuator_forcerange", "actuator_gear", "hull_vert",
+        ):
+            flag = getattr(m_b, fname, None)
+            if flag:
+                other_batched.append(fname)
+
+        ok = (
+            not other_batched
+            and supports_model(_unbatch_model(m, batched_fields))
+            and axis_size % BLOCK == 0
+            and jax.tree_util.tree_all(
+                jax.tree_util.tree_map(lambda x: bool(x), d_b)
+            )
+            and bool(ctrl_b)
+        )
+        if not ok:
+            # generic fallback: plain vmap of the XLA path
+            out = jax.vmap(
+                lambda mm, dd, cc: fwd.step_n(mm, dd, cc, n_substeps),
+                in_axes=(_model_axes(m_b), 0, 0),
+            )(m, d, ctrl)
+            return out, jax.tree_util.tree_map(lambda _: True, out)
+
+        m_plain = _unbatch_model(m, batched_fields)
+        dr_flat = None
+        if batched_fields:
+            assert batched_fields == set(DR_FIELDS), (
+                "partial DR field batching unsupported", batched_fields)
+            dr_flat = flatten_dr_fields(m)
+        out = fused_step_n_batched(m_plain, d, ctrl, n_substeps, dr_flat)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return step_n
+
+
+def _unbatch_model(m: Model, batched_fields) -> Model:
+    """Replace batched DR fields with their env-0 slice (constants for the
+    non-DR parts of the kernel; the DR tiles carry the real per-env values)."""
+    if not batched_fields:
+        return m
+    return m.tree_replace({f: getattr(m, f)[0] for f in batched_fields})
+
+
+def _model_axes(m_b: Model):
+    return jax.tree_util.tree_map(lambda flag: 0 if flag else None, m_b)

@@ -75,7 +75,8 @@ def solve(
         exists = efc.pos < 0.0
 
         def dphi(alpha):
-            x = Jaref + alpha * Jd
+            # alpha may be scalar or (K,): broadcast over trailing row axis
+            x = Jaref + alpha[..., None] * Jd if jnp.ndim(alpha) else Jaref + alpha * Jd
             quad_active = efc.is_quad & exists & (x < 0.0)
             Dx = efc.D * x
             inside = efc.is_friction & (jnp.abs(Dx) <= efc.floss)
@@ -84,22 +85,24 @@ def solve(
             d1 = (
                 smooth_b
                 + smooth_a * alpha
-                + jnp.sum(efc.D * x * Jd * act)
-                + jnp.sum(efc.floss * jnp.sign(x) * Jd * saturated)
+                + jnp.sum(efc.D * x * Jd * act, axis=-1)
+                + jnp.sum(efc.floss * jnp.sign(x) * Jd * saturated, axis=-1)
             )
-            d2 = smooth_a + jnp.sum(efc.D * Jd * Jd * act)
+            d2 = smooth_a + jnp.sum(efc.D * Jd * Jd * act, axis=-1)
             return d1, d2
 
         d1_0, d2_0 = dphi(jnp.zeros((), qacc.dtype))
         descent = d1_0 < 0.0
-        # expand hi until phi'(hi) >= 0
-        hi = jnp.where(
+        # expand hi until phi'(hi) >= 0: evaluate all 8 doublings at once
+        # (one fused pass instead of 8 sequential dphi kernels)
+        hi0 = jnp.where(
             d2_0 > _TINY, -d1_0 / jnp.maximum(d2_0, _TINY), jnp.ones((), qacc.dtype)
         )
-        hi = jnp.maximum(hi, 1e-8)
-        for _ in range(8):
-            d1_hi, _ = dphi(hi)
-            hi = jnp.where(d1_hi < 0.0, hi * 2.0, hi)
+        hi0 = jnp.maximum(hi0, 1e-8)
+        cand = hi0 * (2.0 ** jnp.arange(8, dtype=qacc.dtype))
+        d1_cand, _ = dphi(cand)
+        still_neg = jnp.cumprod((d1_cand < 0.0).astype(qacc.dtype))
+        hi = hi0 * 2.0 ** jnp.sum(still_neg)
         lo = jnp.zeros((), qacc.dtype)
         alpha = 0.5 * (lo + hi)
         for _ls in range(max(1, m.opt.ls_iterations)):

@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the batched physics step for analysis."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from open_duck_playground_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
+
+from open_duck_playground_tpu.envs.joystick import Joystick
+from open_duck_playground_tpu.ops import forward as fwd
+
+B = 4096
+env = Joystick(task="flat_terrain")
+m = env.model
+kf = m.keyframe("home")
+
+qpos = jnp.tile(jnp.asarray(kf.qpos, jnp.float32), (B, 1))
+qvel = 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, m.nv))
+ctrl = jnp.tile(jnp.asarray(kf.ctrl, jnp.float32), (B, 1))
+
+init_b = jax.jit(jax.vmap(lambda q, v, c: fwd.init(m, q, v, c)))
+d = init_b(qpos, qvel, ctrl)
+step10 = jax.jit(jax.vmap(lambda d, c: fwd.step_n(m, d, c, 10)))
+d2 = step10(d, ctrl)
+jax.block_until_ready(d2.qpos)
+
+outdir = "/tmp/jax_trace"
+with jax.profiler.trace(outdir):
+    for _ in range(3):
+        d2 = step10(d2, ctrl)
+    jax.block_until_ready(d2.qpos)
+print("trace written to", outdir)

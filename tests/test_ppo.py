@@ -104,8 +104,8 @@ def test_ppo_end_to_end_smoke():
     eval_env = Joystick(task="flat_terrain")
     _, params, metrics = ppo.train(
         env, eval_env,
-        num_timesteps=800, episode_length=20, num_envs=4, num_eval_envs=2,
-        unroll_length=5, num_minibatches=2, batch_size=2, num_updates_per_batch=1,
+        num_timesteps=800, episode_length=20, num_envs=8, num_eval_envs=2,
+        unroll_length=5, num_minibatches=2, batch_size=4, num_updates_per_batch=1,
         num_evals=2, randomization_fn=randomize.domain_randomize,
     )
     normalizer, _ = params
