@@ -26,7 +26,7 @@ BASELINE_TARGET_STEPS_PER_SEC = 10_000.0
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--num_envs", type=int, default=4096)
-    parser.add_argument("--steps", type=int, default=20, help="control steps to time")
+    parser.add_argument("--steps", type=int, default=100, help="control steps to time")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--no_dr", action="store_true")
     args = parser.parse_args()
@@ -78,11 +78,18 @@ def main() -> None:
     )
     jax.block_until_ready(actions)
 
-    # warmup / compile
+    # warmup / compile. Two warmup calls, not one: the first step's output
+    # state carries slightly different avals than reset's (weak-type
+    # promotion), so the SECOND call compiles a second jit variant — timing
+    # must not start until both are compiled (verified via step._cache_size()).
     t0 = time.perf_counter()
     state = step(state, actions[0])
     jax.block_until_ready(state.reward)
     log(f"[bench] step compile+warmup in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    state = step(state, actions[1 % args.steps])
+    jax.block_until_ready(state.reward)
+    log(f"[bench] second-variant compile+warmup in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for i in range(args.steps):

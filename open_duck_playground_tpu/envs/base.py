@@ -137,7 +137,9 @@ class OpenDuckMiniV2Env:
             if use_fused:
                 from open_duck_playground_tpu.ops import pallas_step as _ps
 
-                self._physics_step_fn = _ps.make_fused_step_n(self.n_substeps)
+                self._physics_step_fn = _ps.make_fused_step_n(
+                    self.n_substeps, concrete_model=self._model
+                )
             else:
                 n = self.n_substeps
                 self._physics_step_fn = lambda m, d, c: fwd.step_n(m, d, c, n)

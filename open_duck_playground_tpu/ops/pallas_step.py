@@ -253,11 +253,18 @@ def flatten_dr_fields(m_batched: Model) -> Dict[str, jax.Array]:
     return out
 
 
-def make_fused_step_n(n_substeps: int):
+def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
     """Drop-in for `lambda m, d, ctrl: fwd.step_n(m, d, ctrl, n)`:
 
     unbatched -> XLA pipeline; vmapped -> fused pallas kernel (when the
     batch divides the 1024-env block and the model has no heightfield).
+
+    `concrete_model` is the env's un-traced Model: the lane pipeline bakes
+    every structural field in as python constants at kernel-build time, so
+    it must never see tracers. Under jit even a concrete DR-batched model's
+    `field[0]` slice is a tracer, hence the explicit side channel (the DR
+    tiles carry the real per-env values; structural fields are identical
+    across envs). Without it, the fused path only works outside jit.
     """
 
     @jax.custom_batching.custom_vmap
@@ -267,10 +274,6 @@ def make_fused_step_n(n_substeps: int):
     @step_n.def_vmap
     def _rule(axis_size, in_batched, m, d, ctrl):
         m_b, d_b, ctrl_b = in_batched
-        dr_batched = [
-            name for name in DR_FIELDS
-            if getattr(m_b, name, False) is True or getattr(m_b, name, None) == 0
-        ]
         # which model leaves are batched?
         batched_fields = set()
         for name in DR_FIELDS:
@@ -289,9 +292,15 @@ def make_fused_step_n(n_substeps: int):
             if flag:
                 other_batched.append(fname)
 
+        m_plain = (
+            concrete_model
+            if concrete_model is not None
+            else _unbatch_model(m, batched_fields)
+        )
         ok = (
             not other_batched
-            and supports_model(_unbatch_model(m, batched_fields))
+            and not _has_tracers(m_plain)
+            and supports_model(m_plain)
             and axis_size % BLOCK == 0
             and jax.tree_util.tree_all(
                 jax.tree_util.tree_map(lambda x: bool(x), d_b)
@@ -306,7 +315,6 @@ def make_fused_step_n(n_substeps: int):
             )(m, d, ctrl)
             return out, jax.tree_util.tree_map(lambda _: True, out)
 
-        m_plain = _unbatch_model(m, batched_fields)
         dr_flat = None
         if batched_fields:
             assert batched_fields == set(DR_FIELDS), (
@@ -316,6 +324,12 @@ def make_fused_step_n(n_substeps: int):
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return step_n
+
+
+def _has_tracers(m: Model) -> bool:
+    return any(
+        isinstance(leaf, jax.core.Tracer) for leaf in jax.tree_util.tree_leaves(m)
+    )
 
 
 def _unbatch_model(m: Model, batched_fields) -> Model:
