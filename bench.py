@@ -67,13 +67,10 @@ def main() -> None:
     jax.block_until_ready(state.reward)
     log(f"[bench] reset done in {time.perf_counter() - t0:.1f}s")
 
-    # pre-generated random actions: the timed loop dispatches only the jitted
-    # env step (back-to-back async; one sync at the end), like the trainer's
-    # rollout. A scanned mega-program compiles pathologically slowly on the
-    # remote-compile tunnel, so the loop stays host-side.
+    # pre-generated random actions for the warmup calls
     actions = jax.random.uniform(
         jax.random.PRNGKey(2),
-        (args.steps, args.num_envs, env.action_size),
+        (2, args.num_envs, env.action_size),
         minval=-1.0, maxval=1.0,
     )
     jax.block_until_ready(actions)
@@ -87,13 +84,35 @@ def main() -> None:
     jax.block_until_ready(state.reward)
     log(f"[bench] step compile+warmup in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    state = step(state, actions[1 % args.steps])
+    state = step(state, actions[1])
     jax.block_until_ready(state.reward)
     log(f"[bench] second-variant compile+warmup in {time.perf_counter() - t0:.1f}s")
 
+    # timed section: a scanned rollout, exactly how the PPO trainer consumes
+    # the env (lax.scan over steps inside one jitted program — no host
+    # dispatch per step). Random actions are generated in-scan from a
+    # folded key, like a stochastic policy would.
+    def rollout(state, key):
+        def body(carry, _):
+            st, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.uniform(
+                ka, (args.num_envs, env.action_size), minval=-1.0, maxval=1.0
+            )
+            return (train_env.step(st, a), k), None
+        (state, key), _ = jax.lax.scan(
+            body, (state, key), None, length=args.steps
+        )
+        return state
+
+    rollout = jax.jit(rollout)
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        state = step(state, actions[i])
+    state = rollout(state, jax.random.PRNGKey(3))
+    jax.block_until_ready(state.reward)
+    log(f"[bench] rollout compile+first in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    state = rollout(state, jax.random.PRNGKey(4))
     jax.block_until_ready(state.reward)
     dt = time.perf_counter() - t0
 

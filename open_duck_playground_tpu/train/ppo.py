@@ -361,7 +361,11 @@ def train(
     # main loop (host-side orchestration; device work stays sharded)
     # ------------------------------------------------------------------
     key, reset_key, epoch_key, eval_key = jax.random.split(key, 4)
+    t0 = time.monotonic()
     env_state = jax.jit(train_env.reset, out_shardings=sh_env)(reset_key)
+    jax.block_until_ready(env_state.reward)
+    print(f"[ppo] env reset ({num_envs} envs) compiled+ran in "
+          f"{time.monotonic() - t0:.1f}s", flush=True)
     training_state = jax.device_put(training_state, sh_rep)
 
     metrics: Dict[str, float] = {}
@@ -370,10 +374,15 @@ def train(
         nonlocal metrics, eval_key
         if eval_wrapped is not None:
             eval_key, k = jax.random.split(eval_key)
+            t0 = time.monotonic()
             eval_metrics = run_eval(
                 (training_state.normalizer, training_state.params), k
             )
-            metrics = {k2: float(v) for k2, v in eval_metrics.items()}
+            # merge, don't replace: the caller just wrote training/* metrics
+            # (sps, losses) into `metrics` and progress_fn must see both
+            metrics.update({k2: float(v) for k2, v in eval_metrics.items()})
+            print(f"[ppo] eval rollout done in {time.monotonic() - t0:.1f}s",
+                  flush=True)
         if progress_fn is not None:
             progress_fn(step_count, metrics)
         if policy_params_fn is not None:
@@ -385,6 +394,8 @@ def train(
     _eval_and_report(0)
 
     walltimes = []
+    print(f"[ppo] entering training loop: {num_evals_after_init} epochs x "
+          f"{num_training_steps_per_epoch} training steps", flush=True)
     for epoch_i in range(num_evals_after_init):
         t0 = time.monotonic()
         training_state, env_state, epoch_key, train_metrics = training_epoch(

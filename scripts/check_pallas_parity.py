@@ -5,8 +5,15 @@ The lane pipeline is layout-agnostic, so running it eagerly on CPU with
 (B,) tiles gives a compile-free oracle for the TPU kernel (same math,
 different layout/backend). Catches wrapper bugs: lane-layout reshapes, DR
 field plumbing, output scatter.
+
+--dr additionally exercises the domain-randomization kernel variant: the 8
+randomized model fields (envs/randomize.py) ride in as per-env tiles and
+the per-env values must land on the right envs/rows through the lane
+layout (the strongest check of the DR plumbing: every env has different
+physics, so any row/env transposition shows up as gross error).
 """
 
+import argparse
 import os
 import sys
 import time
@@ -24,7 +31,11 @@ setup_compilation_cache()
 from open_duck_playground_tpu.mjcf import compile_mjcf
 from open_duck_playground_tpu.ops import forward as fwd
 from open_duck_playground_tpu.ops import pallas_step as ps
-from open_duck_playground_tpu.ops.lane_physics import LanePhysics
+from open_duck_playground_tpu.ops.lane_physics import DR_FIELDS, LanePhysics
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--dr", action="store_true", help="exercise the DR kernel")
+args = parser.parse_args()
 
 B = ps.BLOCK  # one block
 N = 10
@@ -40,13 +51,24 @@ qvel = rng.uniform(-0.01, 0.01, (B, m.nv)).astype(np.float32)
 ctrl = (np.asarray(kf.ctrl, np.float32)
         + rng.uniform(-0.05, 0.05, (B, m.nu)).astype(np.float32))
 
+dr_flat = None
+if args.dr:
+    from open_duck_playground_tpu.envs import randomize
+
+    m_batched, _ = randomize.domain_randomize(m, jax.random.split(jax.random.PRNGKey(7), B))
+    dr_flat = {
+        k: jnp.asarray(np.asarray(v), jnp.float32)
+        for k, v in ps.flatten_dr_fields(m_batched).items()
+    }
+    assert set(dr_flat) == set(DR_FIELDS)
+
 # --- TPU fused ---
 d0 = fwd.make_data(m)
 d = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), d0)
 d = d.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
               ctrl=jnp.asarray(ctrl))
-fused = jax.jit(lambda d, c: ps.fused_step_n_batched(m, d, c, N))
-out = fused(d, jnp.asarray(ctrl))
+fused = jax.jit(lambda d, c, dr: ps.fused_step_n_batched(m, d, c, N, dr))
+out = fused(d, jnp.asarray(ctrl), dr_flat)
 jax.block_until_ready(out.qpos)
 print("fused done", flush=True)
 
@@ -58,7 +80,25 @@ with jax.default_device(cpu):
     lq = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
     lv = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
     lc = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
-    qp, qv, derived = lane.step_n(lq, lv, lc, N)
+    dr_tiles = None
+    if dr_flat is not None:
+        # same nested [field][i][j] tile structure _nest_dr builds in-kernel
+        dr_np = {k: np.asarray(v) for k, v in dr_flat.items()}
+        dr_tiles = {}
+        for f in DR_FIELDS:
+            dims = ps._DR_SHAPES[f]
+            flat = dr_np[f]
+            if len(dims) == 1:
+                dr_tiles[f] = [jnp.asarray(flat[:, i])
+                               for i in range(ps._field_rows(m, f))]
+            else:
+                n0 = getattr(m, dims[0])
+                n1 = dims[1]
+                dr_tiles[f] = [
+                    [jnp.asarray(flat[:, i * n1 + j]) for j in range(n1)]
+                    for i in range(n0)
+                ]
+    qp, qv, derived = lane.step_n(lq, lv, lc, N, dr=dr_tiles)
 print(f"eager lane done in {time.perf_counter() - t0:.1f}s", flush=True)
 
 
