@@ -49,6 +49,7 @@ class OpenDuckMiniV2Env:
         self._model = compile_mjcf(xml_path, timestep=self._config.sim_dt)
         self._xml_path = xml_path
         self._physics_step_fn = None
+        self._physics_init_fn = None
         m = self._model
 
         jnt_names = m.names.list("joint")
@@ -119,22 +120,7 @@ class OpenDuckMiniV2Env:
         Override with DUCK_FUSED_STEP=0/1 (default auto).
         """
         if self._physics_step_fn is None:
-            import os as _os
-
-            mode = _os.environ.get("DUCK_FUSED_STEP", "auto")
-            if mode == "1":
-                use_fused = True
-            elif mode == "0":
-                use_fused = False
-            else:
-                from open_duck_playground_tpu.ops import pallas_step as _ps
-
-                use_fused = (
-                    jax.default_backend() == "tpu"
-                    and jax.device_count() == 1
-                    and _ps.supports_model(self._model)
-                )
-            if use_fused:
+            if self._use_fused():
                 from open_duck_playground_tpu.ops import pallas_step as _ps
 
                 self._physics_step_fn = _ps.make_fused_step_n(
@@ -144,6 +130,37 @@ class OpenDuckMiniV2Env:
                 n = self.n_substeps
                 self._physics_step_fn = lambda m, d, c: fwd.step_n(m, d, c, n)
         return self._physics_step_fn(model, data, ctrl)
+
+    def _use_fused(self) -> bool:
+        import os as _os
+
+        mode = _os.environ.get("DUCK_FUSED_STEP", "auto")
+        if mode in ("0", "1"):
+            return mode == "1"
+        from open_duck_playground_tpu.ops import pallas_step as _ps
+
+        return (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and _ps.supports_model(self._model)
+        )
+
+    def physics_init(
+        self, model: Model, qpos: jax.Array, qvel: jax.Array, ctrl: jax.Array
+    ) -> Data:
+        """mjx_env.init semantics: set state, fill derived fields, no
+        integration. Fused-kernel variant on the same terms as physics_step
+        (the XLA forward's TPU compile is ~45 min for backlash scenes)."""
+        if self._physics_init_fn is None:
+            if self._use_fused():
+                from open_duck_playground_tpu.ops import pallas_step as _ps
+
+                self._physics_init_fn = _ps.make_fused_init(
+                    concrete_model=self._model
+                )
+            else:
+                self._physics_init_fn = fwd.init
+        return self._physics_init_fn(model, qpos, qvel, ctrl)
 
     # --- model ------------------------------------------------------------
     @property

@@ -153,7 +153,7 @@ class Standing(duck_base.OpenDuckMiniV2Env):
         )
 
         ctrl = self.get_actuator_joints_qpos(qpos)
-        data = fwd.init(model, qpos, qvel, ctrl)
+        data = self.physics_init(model, qpos, qvel, ctrl)
 
         rng, cmd_rng = jax.random.split(rng)
         cmd = self.sample_command(cmd_rng)

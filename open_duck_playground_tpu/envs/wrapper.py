@@ -77,7 +77,14 @@ class TrainEnv:
         # auto-reset caches (Brax AutoResetWrapper semantics)
         info["first_data"] = state.data
         info["first_obs"] = state.obs
-        return state.replace(info=info)
+        state = state.replace(info=info)
+        # strip weak types so reset and step emit identical avals: otherwise
+        # the first step() call after reset jit-compiles one variant and the
+        # second call compiles ANOTHER (weak-typed leaves became strong),
+        # costing a full extra multi-minute TPU compile per process
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.result_type(x)), state
+        )
 
     def _raw_step(self, state: State, action: jax.Array) -> State:
         if self._model_v is not None:
@@ -122,7 +129,11 @@ class TrainEnv:
         info["truncation"] = truncation
         info["first_data"] = first_data
         info["first_obs"] = first_obs
-        return inner.replace(done=done, info=info)
+        out = inner.replace(done=done, info=info)
+        # strong-typed leaves, matching reset() (see comment there)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.result_type(x)), out
+        )
 
 
 def _where_done(done, first, cur):

@@ -280,17 +280,9 @@ def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
             flag = getattr(m_b, name, None)
             if flag:
                 batched_fields.add(name)
-        other_batched = []
-        for fname in (
-            "body_pos", "body_quat", "body_iquat", "body_inertia",
-            "body_invweight0", "jnt_pos", "jnt_axis", "jnt_range",
-            "dof_damping", "dof_invweight0", "geom_pos", "geom_quat",
-            "site_pos", "site_quat", "actuator_ctrlrange",
-            "actuator_forcerange", "actuator_gear", "hull_vert",
-        ):
-            flag = getattr(m_b, fname, None)
-            if flag:
-                other_batched.append(fname)
+        other_batched = [
+            f for f in _NON_DR_MODEL_FIELDS if getattr(m_b, f, None)
+        ]
 
         m_plain = (
             concrete_model
@@ -324,6 +316,80 @@ def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return step_n
+
+
+def make_fused_init(concrete_model: Optional[Model] = None):
+    """Drop-in for `lambda m, qpos, qvel, ctrl: fwd.init(m, qpos, qvel, ctrl)`:
+
+    fills the derived fields (sensors, contacts, actuator force, site
+    kinematics) of the GIVEN state without integrating — mjx_env.init
+    semantics for env reset. Vmapped on a supported model it reuses the
+    1-substep fused kernel and discards the integration (the kernel's
+    derived outputs describe the pre-integration state, exactly forward());
+    the XLA forward pipeline's TPU compile is ~45 min for the backlash
+    scenes, the fused kernel ~90 s. See make_fused_step_n for the
+    concrete_model contract.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def init_fn(m: Model, qpos, qvel, ctrl) -> Data:
+        return fwd.init(m, qpos, qvel, ctrl)
+
+    @init_fn.def_vmap
+    def _rule(axis_size, in_batched, m, qpos, qvel, ctrl):
+        m_b, qpos_b, qvel_b, ctrl_b = in_batched
+        batched_fields = set()
+        for name in DR_FIELDS:
+            if getattr(m_b, name, None):
+                batched_fields.add(name)
+        other_batched = [
+            f for f in _NON_DR_MODEL_FIELDS if getattr(m_b, f, None)
+        ]
+        m_plain = (
+            concrete_model
+            if concrete_model is not None
+            else _unbatch_model(m, batched_fields)
+        )
+        ok = (
+            not other_batched
+            and not _has_tracers(m_plain)
+            and supports_model(m_plain)
+            and axis_size % BLOCK == 0
+            and bool(qpos_b) and bool(qvel_b) and bool(ctrl_b)
+        )
+        if not ok:
+            out = jax.vmap(
+                lambda mm, qp, qv, cc: fwd.init(mm, qp, qv, cc),
+                in_axes=(_model_axes(m_b), 0, 0, 0),
+            )(m, qpos, qvel, ctrl)
+            return out, jax.tree_util.tree_map(lambda _: True, out)
+
+        dr_flat = None
+        if batched_fields:
+            assert batched_fields == set(DR_FIELDS), (
+                "partial DR field batching unsupported", batched_fields)
+            dr_flat = flatten_dr_fields(m)
+        d0 = fwd.make_data(m_plain, qpos.dtype)
+        d = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (axis_size,) + jnp.shape(x)), d0
+        )
+        d = d.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
+        out = fused_step_n_batched(m_plain, d, ctrl, 1, dr_flat)
+        # forward() semantics: derived fields of the INPUT state; undo the
+        # kernel's semi-implicit Euler integration and time advance
+        out = out.replace(qpos=qpos, qvel=qvel, time=d.time)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return init_fn
+
+
+_NON_DR_MODEL_FIELDS = (
+    "body_pos", "body_quat", "body_iquat", "body_inertia",
+    "body_invweight0", "jnt_pos", "jnt_axis", "jnt_range",
+    "dof_damping", "dof_invweight0", "geom_pos", "geom_quat",
+    "site_pos", "site_quat", "actuator_ctrlrange",
+    "actuator_forcerange", "actuator_gear", "hull_vert",
+)
 
 
 def _has_tracers(m: Model) -> bool:
