@@ -272,3 +272,44 @@ def rotate_inertia(diag_inertia, ximat):
                 + R[3 * r + 2] * iz * R[3 * c + 2]
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# heightfield table gather
+# ---------------------------------------------------------------------------
+def hf_bilinear_gather(H, iy, ix, mode="direct"):
+    """The 4 cell-corner heights H[iy,ix], H[iy,ix+1], H[iy+1,ix], H[iy+1,ix+1].
+
+    H: (nrow, ncol) array; iy/ix: int32 tiles with iy <= nrow-2, ix <= ncol-2
+    (guaranteed by the caller's clip).
+
+    mode "direct": advanced indexing — fine under XLA/CPU eager, unsupported
+    by Mosaic. mode "onehot": gather-as-matmul for the TPU kernel — a
+    (N, nrow) one-hot row selector hits the MXU against H, then masked
+    column sums; requires 2-D tiles (the kernel's (8, 128) layout).
+    """
+    if mode == "direct":
+        return H[iy, ix], H[iy, ix + 1], H[iy + 1, ix], H[iy + 1, ix + 1]
+
+    import jax
+
+    shape = iy.shape
+    n = 1
+    for s in shape:
+        n *= s
+    nrow, ncol = H.shape
+    iy2 = iy.reshape(n, 1)
+    ix2 = ix.reshape(n, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, nrow), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, ncol), 1)
+    row0 = (rows == iy2).astype(H.dtype)
+    row1 = (rows == iy2 + 1).astype(H.dtype)
+    col0 = (cols == ix2).astype(H.dtype)
+    col1 = (cols == ix2 + 1).astype(H.dtype)
+    a0 = jnp.dot(row0, H, preferred_element_type=jnp.float32)  # (n, ncol)
+    a1 = jnp.dot(row1, H, preferred_element_type=jnp.float32)
+    z00 = jnp.sum(a0 * col0, axis=1).reshape(shape)
+    z10 = jnp.sum(a0 * col1, axis=1).reshape(shape)
+    z01 = jnp.sum(a1 * col0, axis=1).reshape(shape)
+    z11 = jnp.sum(a1 * col1, axis=1).reshape(shape)
+    return z00, z10, z01, z11

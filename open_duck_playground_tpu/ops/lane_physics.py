@@ -52,20 +52,30 @@ _BIG = 1e10
 class _Const:
     """Trace-time numpy view of every model field (python float access)."""
 
+    _FIELDS = (
+        "body_pos", "body_quat", "body_ipos", "body_iquat", "body_mass",
+        "body_inertia", "body_invweight0", "jnt_pos", "jnt_axis",
+        "jnt_range", "jnt_solref", "jnt_solimp", "jnt_margin",
+        "dof_armature", "dof_damping", "dof_frictionloss",
+        "dof_invweight0", "dof_solref", "dof_solimp", "geom_pos",
+        "geom_quat", "geom_friction", "geom_solref", "geom_solimp",
+        "site_pos", "site_quat", "actuator_gainprm", "actuator_biasprm",
+        "actuator_ctrlrange", "actuator_forcerange", "actuator_gear",
+        "qpos0", "hull_vert", "hull_face_n", "hull_face_d", "hfield_data",
+        "hfield_size",
+    )
+
     def __init__(self, m: Model):
+        import jax as _jax
+
         self.m = m
-        for name in (
-            "body_pos", "body_quat", "body_ipos", "body_iquat", "body_mass",
-            "body_inertia", "body_invweight0", "jnt_pos", "jnt_axis",
-            "jnt_range", "jnt_solref", "jnt_solimp", "jnt_margin",
-            "dof_armature", "dof_damping", "dof_frictionloss",
-            "dof_invweight0", "dof_solref", "dof_solimp", "geom_pos",
-            "geom_quat", "geom_friction", "geom_solref", "geom_solimp",
-            "site_pos", "site_quat", "actuator_gainprm", "actuator_biasprm",
-            "actuator_ctrlrange", "actuator_forcerange", "actuator_gear",
-            "qpos0", "hull_vert", "hull_face_n", "hull_face_d",
-        ):
-            v = getattr(m, name)
+        # single batched device->host transfer: per-field np.asarray pays
+        # one tunnel round-trip each on remote TPU backends
+        vals = _jax.device_get(
+            {n: getattr(m, n) for n in self._FIELDS if getattr(m, n) is not None}
+        )
+        for name in self._FIELDS:
+            v = vals.get(name)
             setattr(self, name, None if v is None else np.asarray(v, np.float64))
         self.gravity = np.asarray(m.opt.gravity, np.float64)
 
@@ -211,10 +221,6 @@ class LanePhysics:
     """Build-once object holding the static structure; `substep` is traced."""
 
     def __init__(self, m: Model):
-        if m.hfield_data is not None and any(
-            int(t) == PairType.HFIELD_HULL for t in m.pair_type
-        ):
-            raise NotImplementedError("heightfield scenes use the XLA path")
         self.m = m
         self.c = _Const(m)
         self.tree_pat = _tree_pattern(m)
@@ -569,8 +575,16 @@ class LanePhysics:
             out.append((dist, pos, valid))
         return out
 
-    def collide(self, xpos, xquat):
-        """Returns per-pair list of 4 candidates (dist, pos, frame_const)."""
+    def collide(self, xpos, xquat, hf=None, gather="direct"):
+        """Returns per-pair list of 4 candidates (dist, pos, frame_const).
+
+        hf: heightfield table array for HFIELD_HULL pairs — defaults to the
+        model's own (nrow, ncol) data; the Pallas kernel passes its VMEM ref
+        (kernels cannot capture array constants). gather: "direct" uses
+        advanced indexing (eager CPU / XLA); "onehot" uses the one-hot
+        matmul gather that lowers onto the TPU MXU (Mosaic has no vector
+        gather).
+        """
         m, c = self.m, self.c
         contacts = []
         for p in range(m.npair):
@@ -603,9 +617,144 @@ class LanePhysics:
                 contacts.append((cand, frame, None))
             elif ptype == PairType.HULL_HULL:
                 contacts.append(self._hull_hull(p, g1, g2, xpos, xquat))
+            elif ptype == PairType.HFIELD_HULL:
+                contacts.append(
+                    self._hfield_hull(p, g1, g2, xpos, xquat, hf, gather)
+                )
             else:
                 raise NotImplementedError(f"pair type {ptype} in lane kernel")
         return contacts
+
+    def _hf_sample(self, x, y, hf, gather):
+        """collision.hfield_height_normal on lane tiles.
+
+        Returns (z_surf, n_local vec3) at local hfield-frame (x, y)."""
+        c = self.c
+        nrow, ncol = c.hfield_data.shape
+        rx = float(c.hfield_size[0])
+        ry = float(c.hfield_size[1])
+        ztop = float(c.hfield_size[2])
+        gx = (x + rx) / (2.0 * rx) * (ncol - 1)
+        gy = (y + ry) / (2.0 * ry) * (nrow - 1)
+        gx = jnp.clip(gx, 0.0, ncol - 1.001)
+        gy = jnp.clip(gy, 0.0, nrow - 1.001)
+        ix = jnp.floor(gx).astype(jnp.int32)
+        iy = jnp.floor(gy).astype(jnp.int32)
+        fx = gx - ix.astype(gx.dtype)
+        fy = gy - iy.astype(gy.dtype)
+        z00, z10, z01, z11 = ln.hf_bilinear_gather(hf, iy, ix, gather)
+        z00, z10, z01, z11 = z00 * ztop, z10 * ztop, z01 * ztop, z11 * ztop
+        dx = 2.0 * rx / (ncol - 1)
+        dy = 2.0 * ry / (nrow - 1)
+        lower = fx + fy < 1.0
+        z_lo = z00 + fx * (z10 - z00) + fy * (z01 - z00)
+        gx_lo = (z10 - z00) / dx
+        gy_lo = (z01 - z00) / dy
+        z_hi = z11 + (1.0 - fx) * (z01 - z11) + (1.0 - fy) * (z10 - z11)
+        gx_hi = (z11 - z01) / dx
+        gy_hi = (z11 - z10) / dy
+        z = jnp.where(lower, z_lo, z_hi)
+        gxs = jnp.where(lower, gx_lo, gx_hi)
+        gys = jnp.where(lower, gy_lo, gy_hi)
+        nvec = [-gxs, -gys, jnp.ones_like(gxs)]
+        nrm = jnp.sqrt(ln.v3_dot(nvec, nvec))
+        nvec = ln.v3_scale(nvec, 1.0 / nrm)
+        return z, nvec
+
+    def _hfield_hull(self, p, g1, g2, xpos, xquat, hf, gather):
+        """collision.hfield_hull on lane tiles: per-vertex surface test,
+        manifold spread along the hfield up axis, frame from the deepest
+        vertex's surface normal."""
+        m, c = self.m, self.c
+        if hf is None:
+            hf = jnp.asarray(c.hfield_data, jnp.float32)
+        bpos, bquat = self._static_body_pose(int(m.geom_bodyid[g1]))
+        hp = bpos + _np_quat_rot(bquat, c.geom_pos[g1])
+        hq = _np_quat_mul(bquat, c.geom_quat[g1])
+        R = _np_quat_to_mat(hq)  # hfield frame: world <- local
+
+        hull = int(m.geom_dataid[g2])
+        verts = c.hull_vert[hull]
+        gpos, gmat = self._geom_pose(g2, xpos, xquat)
+        V = verts.shape[0]
+        w = [ln.v3_add(gpos, ln.m3_vec(gmat, [float(x) for x in verts[v]]))
+             for v in range(V)]
+        support, mask, n_loc = [], [], []
+        for v in range(V):
+            d = [w[v][i] - float(hp[i]) for i in range(3)]
+            # local = R^T d
+            loc = [
+                sum(float(R[i][j]) * d[i] for i in range(3)) for j in range(3)
+            ]
+            z_surf, nv = self._hf_sample(loc[0], loc[1], hf, gather)
+            gap = (loc[2] - z_surf) * nv[2]
+            support.append(-gap)
+            mask.append(-gap > 0)
+            n_loc.append(nv)
+        up = [float(R[i][2]) for i in range(3)]
+        cand, n0_loc = self._manifold_hf(w, support, mask, up, n_loc)
+        # world normal of the deepest vertex -> shared contact frame
+        n0 = [
+            sum(float(R[i][j]) * n0_loc[j] for j in range(3)) for i in range(3)
+        ]
+        nrm = jnp.maximum(jnp.sqrt(ln.v3_dot(n0, n0)), 1e-12)
+        n0 = ln.v3_scale(n0, 1.0 / nrm)
+        # pos = w[idx] - 0.5 * dist * n0 with the per-lane n0
+        out = []
+        for (dist, pos_k, valid) in cand:
+            pos = [pos_k[i] - 0.5 * dist * n0[i] for i in range(3)]
+            dist = jnp.where(valid, dist, _BIG)
+            out.append((dist, pos, valid))
+        frame = self._dyn_frame(n0)
+        return (out, frame, None)
+
+    def _manifold_hf(self, w, support, mask, up_const, n_loc):
+        """_manifold with the spreading axis constant (hfield up) but the
+        deepest vertex's LOCAL normal carried through for the frame.
+
+        Returns ([(dist, pos_raw, valid)] x4, n0_local vec3 of candidate a);
+        pos_raw is the raw vertex position (caller applies the n0 offset)."""
+        V = len(w)
+        neg = -1e6
+        dist_mask = [jnp.where(mask[v], 0.0, neg) for v in range(V)]
+        payload = [(support[v], w[v][0], w[v][1], w[v][2],
+                    jnp.where(mask[v], 1.0, 0.0),
+                    n_loc[v][0], n_loc[v][1], n_loc[v][2]) for v in range(V)]
+        a_i, a_p = self._running_argmax(dist_mask, payload)
+        a = [a_p[1], a_p[2], a_p[3]]
+        n0_loc = [a_p[5], a_p[6], a_p[7]]
+        sc_b = [ln.v3_dot(ln.v3_sub(a, w[v]), ln.v3_sub(a, w[v])) + dist_mask[v]
+                for v in range(V)]
+        b_i, b_p = self._running_argmax(sc_b, payload)
+        b = [b_p[1], b_p[2], b_p[3]]
+        ab = ln.v3_cross(up_const, ln.v3_sub(a, b))
+        sc_c = [jnp.abs(ln.v3_dot(ln.v3_sub(a, w[v]), ab)) + dist_mask[v]
+                for v in range(V)]
+        c_i, c_p = self._running_argmax(sc_c, payload)
+        cpt = [c_p[1], c_p[2], c_p[3]]
+        ac = ln.v3_cross(up_const, ln.v3_sub(a, cpt))
+        bc = ln.v3_cross(up_const, ln.v3_sub(b, cpt))
+        sc_d = [jnp.abs(ln.v3_dot(ln.v3_sub(b, w[v]), bc))
+                + jnp.abs(ln.v3_dot(ln.v3_sub(a, w[v]), ac)) + dist_mask[v]
+                for v in range(V)]
+        d_i, d_p = self._running_argmax(sc_d, payload)
+        idxs = [a_i, b_i, c_i, d_i]
+        pays = [a_p, b_p, c_p, d_p]
+        out = []
+        for k in range(4):
+            sup_k = pays[k][0]
+            pos_k = [pays[k][1], pays[k][2], pays[k][3]]
+            mask_k = pays[k][4] > 0.5
+            seen = None
+            for j in range(k):
+                eq = idxs[k] == idxs[j]
+                seen = eq if seen is None else (seen | eq)
+            valid = mask_k if seen is None else (~seen & mask_k)
+            if k == 0:
+                valid = valid | True
+            dist = -sup_k
+            out.append((dist, pos_k, valid))
+        return out, n0_loc
 
     @staticmethod
     def _const_frame(n):
@@ -1090,7 +1239,8 @@ class LanePhysics:
     # ------------------------------------------------------------------
     # one full substep + n-substep entry
     # ------------------------------------------------------------------
-    def substep(self, qpos, qvel, ctrl, dr, want_derived=False):
+    def substep(self, qpos, qvel, ctrl, dr, want_derived=False,
+                hf=None, gather="direct"):
         """One physics substep on lane lists; returns (qpos', qvel', derived).
 
         derived (when requested): dict with sensordata, actuator_force,
@@ -1102,7 +1252,7 @@ class LanePhysics:
         xpos, xquat, xanchor, xaxis = self.kinematics(qpos, dr)
         subtree_com, xipos, cinert, cdof = self.com_pos(xpos, xquat, xanchor, xaxis, dr)
         M = self.crb(cinert, cdof, dr)
-        contacts = self.collide(xpos, xquat)
+        contacts = self.collide(xpos, xquat, hf=hf, gather=gather)
         cvel, cdofdot = self.com_vel(cdof, qvel)
         qfrc_bias = self.rne(cinert, cdof, cdofdot, cvel, qvel)
         actuator_force, qfrc_act = self.actuation(qpos, qvel, ctrl, dr)
@@ -1139,13 +1289,15 @@ class LanePhysics:
             )
         return qpos_new, qvel_new, derived
 
-    def step_n(self, qpos, qvel, ctrl, n_substeps, dr=None):
+    def step_n(self, qpos, qvel, ctrl, n_substeps, dr=None, hf=None,
+               gather="direct"):
         """n substeps with fixed ctrl; derived from the LAST substep's
         pre-integration state (mjx_env.step semantics, forward.step_n)."""
         derived = None
         for k in range(n_substeps):
             qpos, qvel, derived = self.substep(
-                qpos, qvel, ctrl, dr, want_derived=(k == n_substeps - 1)
+                qpos, qvel, ctrl, dr, want_derived=(k == n_substeps - 1),
+                hf=hf, gather=gather,
             )
         return qpos, qvel, derived
 
@@ -1166,3 +1318,12 @@ def _np_quat_rot(q, v):
     qv = np.asarray(q[1:4])
     uv = np.cross(qv, v)
     return np.asarray(v) + 2.0 * (qw * uv + np.cross(qv, uv))
+
+
+def _np_quat_to_mat(q):
+    w, x, y, z = [float(v) for v in q]
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])

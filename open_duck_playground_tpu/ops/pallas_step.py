@@ -64,8 +64,9 @@ def _field_rows(m: Model, field: str) -> int:
 
 
 def supports_model(m: Model) -> bool:
-    """Flat-terrain scenes only (no heightfield pairs)."""
-    return not any(int(t) == PairType.HFIELD_HULL for t in m.pair_type)
+    """All duck scene types: plane, hull-hull, and heightfield pairs (the
+    hfield table rides into VMEM and gathers via the one-hot MXU path)."""
+    return True
 
 
 def _to_lane_layout(x: jax.Array) -> jax.Array:
@@ -107,18 +108,32 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
         "site_xmat": m.nsite * 9,
     }
 
+    # heightfield scenes: the (nrow, ncol) table rides in as one extra VMEM
+    # input (pallas kernels cannot capture array constants) and the in-kernel
+    # gather uses the one-hot MXU path
+    has_hf = lane.c.hfield_data is not None and any(
+        int(t) == PairType.HFIELD_HULL for t in m.pair_type
+    )
+
     def kernel(*refs):
+        qpos_ref, qvel_ref, ctrl_ref = refs[0], refs[1], refs[2]
+        pos = 3
         if with_dr:
-            qpos_ref, qvel_ref, ctrl_ref = refs[0], refs[1], refs[2]
-            dr_refs = refs[3 : 3 + len(DR_FIELDS)]
-            out_refs = refs[3 + len(DR_FIELDS):]
+            dr_refs = refs[pos : pos + len(DR_FIELDS)]
+            pos += len(DR_FIELDS)
             dr = {
                 f: _nest_dr(lane, f, r) for f, r in zip(DR_FIELDS, dr_refs)
             }
         else:
-            qpos_ref, qvel_ref, ctrl_ref = refs[0], refs[1], refs[2]
-            out_refs = refs[3:]
             dr = None
+        if has_hf:
+            hf = refs[pos][:]
+            pos += 1
+            gather = "onehot"
+        else:
+            hf = None
+            gather = "direct"
+        out_refs = refs[pos:]
 
         qpos = [qpos_ref[i, 0] for i in range(m.nq)]
         qvel = [qvel_ref[i, 0] for i in range(m.nv)]
@@ -129,14 +144,16 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
         if n_substeps > 1:
             def body(_, carry):
                 qp, qv = carry
-                qp, qv, _ = lane.substep(qp, qv, ctrl, dr, want_derived=False)
+                qp, qv, _ = lane.substep(qp, qv, ctrl, dr, want_derived=False,
+                                         hf=hf, gather=gather)
                 return (qp, qv)
 
             qpos, qvel = jax.lax.fori_loop(
                 0, n_substeps - 1, body, (qpos, qvel)
             )
         qpos, qvel, derived = lane.substep(qpos, qvel, ctrl, dr,
-                                           want_derived=True)
+                                           want_derived=True,
+                                           hf=hf, gather=gather)
 
         outs = {
             "qpos": qpos,
@@ -177,6 +194,14 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
                 x = dr_flat[f]
                 inputs.append(_to_lane_layout(x))
                 in_specs.append(spec(x.shape[1]))
+        if has_hf:
+            nrow, ncol = lane.c.hfield_data.shape
+            inputs.append(jnp.asarray(lane.c.hfield_data, jnp.float32))
+            in_specs.append(
+                pl.BlockSpec(
+                    (nrow, ncol), lambda i: (0, 0), memory_space=pltpu.VMEM
+                )
+            )
 
         out_shapes = [
             jax.ShapeDtypeStruct((n, nb, SUB, LANE), jnp.float32)

@@ -35,17 +35,23 @@ from open_duck_playground_tpu.ops.lane_physics import DR_FIELDS, LanePhysics
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--dr", action="store_true", help="exercise the DR kernel")
+parser.add_argument("--rough", action="store_true",
+                    help="rough-terrain scene (heightfield gather path)")
 args = parser.parse_args()
 
 B = ps.BLOCK  # one block
 N = 10
+scene = ("scene_rough_terrain_backlash.xml" if args.rough
+         else "scene_flat_terrain.xml")
 m = compile_mjcf(
-    "/root/reference/playground/open_duck_mini_v2/xmls/scene_flat_terrain.xml",
+    f"/root/reference/playground/open_duck_mini_v2/xmls/{scene}",
     timestep=0.002,
 )
 kf = m.keyframe("home")
 rng = np.random.RandomState(0)
 qpos = np.tile(np.asarray(kf.qpos, np.float32), (B, 1))
+if args.rough:
+    qpos[:, 2] += 0.11  # hfield base lifts the ground
 qpos[:, 7:] += rng.uniform(-0.02, 0.02, (B, m.nq - 7)).astype(np.float32)
 qvel = rng.uniform(-0.01, 0.01, (B, m.nv)).astype(np.float32)
 ctrl = (np.asarray(kf.ctrl, np.float32)

