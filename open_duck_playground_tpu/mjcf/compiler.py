@@ -83,10 +83,18 @@ def _quat_from_mat(R: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
-def _principal_inertia(inertial: Optional[ElemSpec]):
-    """(mass, ipos, iquat, principal moments) from an <inertial> element."""
+def _principal_inertia(inertial: Optional[ElemSpec], body_pos: np.ndarray):
+    """(mass, ipos, iquat, principal moments) from an <inertial> element.
+
+    MuJoCo quirks replicated for field parity with mujoco.MjModel:
+    - a body with no <inertial> (and no colliding geoms) gets mass 0 and
+      body_ipos equal to its own body_pos (observed in mujoco 3.10 on the
+      duck's massless `base` body, open_duck_mini_v2.xml:58);
+    - principal moments are sorted in DECREASING order, with iquat rotated
+      accordingly (mju_eig3 semantics).
+    """
     if inertial is None:
-        return 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+        return 0.0, np.asarray(body_pos, np.float64), np.array([1.0, 0, 0, 0]), np.zeros(3)
     mass = inertial.num("mass", 0.0)
     ipos = inertial.vec("pos", [0, 0, 0])
     iquat = inertial.vec("quat", [1, 0, 0, 0])
@@ -95,6 +103,7 @@ def _principal_inertia(inertial: Optional[ElemSpec]):
         ixx, iyy, izz, ixy, ixz, iyz = inertial.vec("fullinertia", None)
         I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
         w, V = np.linalg.eigh(I)
+        w, V = w[::-1], V[:, ::-1]  # MuJoCo sorts principal moments decreasing
         if np.linalg.det(V) < 0:
             V[:, -1] *= -1
         q_eig = _quat_from_mat(V)
@@ -139,7 +148,7 @@ def _walk_body(t: _Tables, spec: BodySpec, parent: int) -> None:
     t.body["name"].append(spec.name)
     t.body["pos"].append(spec.pos)
     t.body["quat"].append(spec.quat)
-    mass, ipos, iquat, inertia = _principal_inertia(spec.inertial)
+    mass, ipos, iquat, inertia = _principal_inertia(spec.inertial, np.asarray(spec.pos))
     t.body["mass"].append(mass)
     t.body["ipos"].append(ipos)
     t.body["iquat"].append(iquat)

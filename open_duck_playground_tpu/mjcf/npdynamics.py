@@ -178,6 +178,13 @@ def set_const(nm):
     M = crb_matrix(nm, cinert, cdof)
     Minv = np.linalg.inv(M) if nm.nv else np.zeros((0, 0))
     dof_invweight0 = np.diag(Minv).copy() if nm.nv else np.zeros(0)
+    # MuJoCo averages invweight0 over the translational and rotational dof
+    # triples of free (and ball) joints (verified empirically vs mujoco 3.10).
+    for j in range(nm.njnt):
+        if nm.jnt_type[j] == 0:
+            a = nm.jnt_dofadr[j]
+            dof_invweight0[a : a + 3] = dof_invweight0[a : a + 3].mean()
+            dof_invweight0[a + 3 : a + 6] = dof_invweight0[a + 3 : a + 6].mean()
     body_invweight0 = np.zeros((nm.nbody, 2))
     for b in range(1, nm.nbody):
         jacp, jacr = body_jacobians(nm, cdof, subtree_com, xipos[b], b)
