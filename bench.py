@@ -7,10 +7,16 @@ Measures the fully randomized (domain randomization on) Joystick env at
   {"metric": ..., "value": N, "unit": "env_steps_per_sec_per_chip",
    "vs_baseline": N}
 
-`vs_baseline` is value / 10,000: the reference publishes no numbers
-(BASELINE.md), so we anchor to the driver's ">= 10x CPU MJX" target with a
-nominal 1,000 env-steps/s CPU-MJX figure for the 64-env config; >= 1.0
-means the 10x throughput target is met under that assumption.
+`vs_baseline` anchors to a MEASURED CPU baseline of this same config:
+CPU_BASELINE_STEPS_PER_SEC below is this engine's own throughput on the
+image's CPU (the reference's CPU-MJX is not installable here, and our
+engine replaces MJX 1:1, so own-engine-CPU is the honest denominator).
+The BASELINE.json target is >= 10x CPU, i.e. vs_baseline >= 10 passes.
+
+Robustness: the TPU tunnel admits one process and can be briefly held by
+a dying predecessor, so backend init retries with backoff; any failure
+still emits a parseable JSON line with an "error" field (exit 0) so the
+driver's BENCH_r*.json is never a bare traceback.
 """
 
 from __future__ import annotations
@@ -19,28 +25,46 @@ import argparse
 import json
 import sys
 import time
+import traceback
 
-BASELINE_TARGET_STEPS_PER_SEC = 10_000.0
+# Measured 2026-08-17 on this image's CPU (bench.py --cpu --num_envs 4096
+# --steps 20, DR on, same scanned-rollout methodology): see RESULTS.md.
+CPU_BASELINE_STEPS_PER_SEC = 11_000.0
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--num_envs", type=int, default=4096)
-    parser.add_argument("--steps", type=int, default=100, help="control steps to time")
-    parser.add_argument("--cpu", action="store_true")
-    parser.add_argument("--no_dr", action="store_true")
-    args = parser.parse_args()
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
+
+def _init_backend(force_cpu: bool, attempts: int = 5):
+    """Initialize a JAX backend; retry the TPU tunnel with backoff."""
     import jax
 
-    if args.cpu:
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+        return jax.devices()
+    delay = 10.0
+    for i in range(attempts):
+        try:
+            devs = jax.devices()
+            log(f"[bench] backend {jax.default_backend()} with {len(devs)} device(s)")
+            return devs
+        except Exception as e:  # tunnel busy / init failure
+            log(f"[bench] backend init attempt {i + 1}/{attempts} failed: {e}")
+            if i == attempts - 1:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 1.7, 60.0)
+
+
+def run_bench(args) -> dict:
+    import jax
+
+    _init_backend(args.cpu)
 
     from open_duck_playground_tpu.utils.cache import setup_compilation_cache
 
     setup_compilation_cache()
-
-    import jax.numpy as jnp
 
     from open_duck_playground_tpu.envs import randomize
     from open_duck_playground_tpu.envs.joystick import Joystick
@@ -56,11 +80,7 @@ def main() -> None:
     )
 
     reset = jax.jit(train_env.reset)
-
     step = jax.jit(train_env.step)
-
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     state = reset(jax.random.PRNGKey(1))
@@ -120,16 +140,34 @@ def main() -> None:
     env_steps_per_sec = args.steps * args.num_envs / dt
     per_chip = env_steps_per_sec / n_chips
 
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_per_chip_joystick_dr_4096envs",
-                "value": round(per_chip, 1),
-                "unit": "env-steps/s/chip",
-                "vs_baseline": round(per_chip / BASELINE_TARGET_STEPS_PER_SEC, 3),
-            }
-        )
-    )
+    return {
+        "metric": "env_steps_per_sec_per_chip_joystick_dr_4096envs",
+        "value": round(per_chip, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(per_chip / CPU_BASELINE_STEPS_PER_SEC, 3),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_envs", type=int, default=4096)
+    parser.add_argument("--steps", type=int, default=100, help="control steps to time")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--no_dr", action="store_true")
+    args = parser.parse_args()
+
+    try:
+        result = run_bench(args)
+    except Exception as e:
+        log(traceback.format_exc())
+        result = {
+            "metric": "env_steps_per_sec_per_chip_joystick_dr_4096envs",
+            "value": 0,
+            "unit": "env-steps/s/chip",
+            "vs_baseline": 0,
+            "error": f"{type(e).__name__}: {e}",
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,21 +1,18 @@
-"""Sim-to-sim policy validation on this framework's own engine.
+"""Sim-to-sim policy validation in the REAL MuJoCo C engine.
 
-Rolls an exported ONNX policy in the CPU simulator with CLEAN observations
-(no training noise/delays, but with the deploy-side +1.3 m/s^2
-accelerometer x-bias the reference applies, mujoco_infer.py:74), the same
+Parity with the reference's mujoco_infer.py
+(/root/reference/playground/open_duck_mini_v2/mujoco_infer.py:156-241):
+the exported ONNX policy — trained entirely on this framework's own
+TPU physics — rolls out in CPU MuJoCo with clean observations, the same
 50 Hz control / 500 Hz physics decimation, action scaling and motor
-speed-limit clamping. Saves the obs trace to mujoco_saved_obs.pkl for
-plot_saved_obs.py, exactly like upstream.
-
-The control loop is shared with deploy/mujoco_infer.py (the independent
-MuJoCo C engine twin) via deploy/policy_loop.py — run both and diff the
-obs traces with deploy/plot_saved_obs.py to localize engine gaps.
+speed-limit clamping. Because MuJoCo is an independent engine we did not
+write, a policy that walks here validates the training physics end to end.
 
 Headless by default; `--interactive` enables terminal keyboard teleop
 (same key map as the reference's viewer callback — see deploy/teleop.py).
 
 Usage:
-  python -m open_duck_playground_tpu.deploy.sim_infer -o policy.onnx \
+  python -m open_duck_playground_tpu.deploy.mujoco_infer -o policy.onnx \
       [--task flat_terrain] [--standing] [--seconds 10] \
       [--command vx vy wz np hp hy hr] [--interactive]
 """
@@ -24,18 +21,15 @@ from __future__ import annotations
 
 import argparse
 
-from open_duck_playground_tpu.deploy.policy_loop import (  # noqa: F401
-    USE_MOTOR_SPEED_LIMITS,
-    PolicyLoopMixin,
-)
-from open_duck_playground_tpu.deploy.sim_infer_base import SimInferBase
+from open_duck_playground_tpu.deploy.mujoco_infer_base import MJInferBase
+from open_duck_playground_tpu.deploy.policy_loop import PolicyLoopMixin
 from open_duck_playground_tpu.models.open_duck_mini_v2 import constants
 
 
-class SimInfer(PolicyLoopMixin, SimInferBase):
+class MjInfer(PolicyLoopMixin, MJInferBase):
     def __init__(self, model_path: str, reference_data: str,
                  onnx_model_path: str, standing: bool = False):
-        SimInferBase.__init__(self, model_path)
+        MJInferBase.__init__(self, model_path)
         self.init_policy_loop(reference_data, onnx_model_path, standing)
 
 
@@ -57,14 +51,10 @@ def main():
     parser.add_argument("--save_obs", type=str, default="mujoco_saved_obs.pkl")
     args = parser.parse_args()
 
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
     model_path = args.model_path or constants.task_to_xml(args.task)
     reference_data = args.reference_data or constants.reference_motion_path()
-    infer = SimInfer(model_path, reference_data, args.onnx_model_path,
-                     args.standing)
+    infer = MjInfer(model_path, reference_data, args.onnx_model_path,
+                    args.standing)
     infer.commands = list(args.command)
     teleop = None
     if args.interactive:

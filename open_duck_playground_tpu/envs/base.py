@@ -113,11 +113,13 @@ class OpenDuckMiniV2Env:
     def physics_step(self, model: Model, data: Data, ctrl: jax.Array) -> Data:
         """n_substeps of physics with ctrl held fixed.
 
-        Dispatches to the fused Pallas kernel (ops/pallas_step.py) on a
-        single TPU chip with flat-terrain scenes; otherwise (CPU tests,
-        heightfield scenes, multi-chip GSPMD) the XLA pipeline. The fused
+        Dispatches to the fused Pallas kernel (ops/pallas_step.py) on TPU
+        backends for every duck scene type (heightfield pairs use the
+        kernel's one-hot MXU gather); on CPU the XLA pipeline. The fused
         path is a custom_vmap: unbatched calls always take the XLA path.
-        Override with DUCK_FUSED_STEP=0/1 (default auto).
+        On >1 device the kernel shard_maps over the env mesh registered by
+        ppo.train (parallel/mesh.py). Override with DUCK_FUSED_STEP=0/1
+        (default auto).
         """
         if self._physics_step_fn is None:
             if self._use_fused():
@@ -141,7 +143,6 @@ class OpenDuckMiniV2Env:
 
         return (
             jax.default_backend() == "tpu"
-            and jax.device_count() == 1
             and _ps.supports_model(self._model)
         )
 

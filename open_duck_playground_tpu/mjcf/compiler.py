@@ -123,6 +123,7 @@ class _Tables:
         self.body = dict(
             parentid=[], name=[], pos=[], quat=[], ipos=[], iquat=[], mass=[],
             inertia=[], jntadr=[], jntnum=[], dofadr=[], dofnum=[], rootid=[],
+            has_inertial=[],
         )
         self.jnt = dict(
             type=[], name=[], qposadr=[], dofadr=[], bodyid=[], pos=[], axis=[],
@@ -153,6 +154,7 @@ def _walk_body(t: _Tables, spec: BodySpec, parent: int) -> None:
     t.body["ipos"].append(ipos)
     t.body["iquat"].append(iquat)
     t.body["inertia"].append(inertia)
+    t.body["has_inertial"].append(spec.inertial is not None)
     if parent < 0:  # world
         t.body["rootid"].append(0)
     elif parent == 0:
@@ -419,6 +421,34 @@ def compile_mjcf(path: str, timestep: Optional[float] = None) -> Model:
         for g in range(ngeom):
             if t.geom["type"][g] == int(GeomType.HFIELD) and t.geom["hfield"][g] == h.get("name"):
                 t.geom["dataid"][g] = h_idx
+
+    # ---- geom-derived inertial (MuJoCo computes body mass/inertia from
+    # geom volumes when <inertial> is absent; here that only applies to the
+    # rough scenes' static terrain body, whose hfield geom MuJoCo treats as
+    # a box with half-height (ztop*max(data)+zbase)/2 and density 1000.
+    # Verified against mujoco 3.10 body_mass/body_inertia field values.) ----
+    if hf_data is not None:
+        for b in range(nbody):
+            if t.body["has_inertial"][b] or t.body["mass"][b] != 0.0:
+                continue
+            for g in range(ngeom):
+                if t.geom["bodyid"][g] != b:
+                    continue
+                if t.geom["type"][g] != int(GeomType.HFIELD):
+                    continue
+                rx, ry = float(hf_size[0]), float(hf_size[1])
+                # equivalent box preserving the volume under the surface:
+                # half-height (ztop*mean(data) + zbase)/2
+                hz = (float(hf_size[2]) * float(hf_data.mean())
+                      + float(hf_size[3])) / 2.0
+                rho = 1000.0
+                mass = rho * 8.0 * rx * ry * hz
+                t.body["mass"][b] = mass
+                t.body["inertia"][b] = (mass / 3.0) * np.array(
+                    [ry * ry + hz * hz, rx * rx + hz * hz, rx * rx + ry * ry])
+                t.body["ipos"][b] = np.asarray(
+                    t.geom["pos"][g], np.float64).copy()
+                t.body["iquat"][b] = np.array([1.0, 0.0, 0.0, 0.0])
 
     # ---- actuators ----
     nu = len(spec.actuators)

@@ -22,10 +22,26 @@ import jax.numpy as jnp
 BIG: float = 1e10
 
 
-def _manifold_points(poly: jax.Array, mask: jax.Array, normal: jax.Array) -> jax.Array:
-    """Choose 4 points on `poly` (V, 3) with ~max area among masked points."""
+def _manifold_points(
+    poly: jax.Array, mask: jax.Array, normal: jax.Array,
+    support: jax.Array | None = None,
+) -> jax.Array:
+    """Choose 4 points on `poly` (V, 3) with ~max area among masked points.
+
+    When `support` (penetration depth per vertex) is given, the first point
+    is the DEEPEST masked vertex — MuJoCo's plane-convex collider always
+    contacts the deepest vertex first (observed empirically on mujoco 3.10:
+    con[0] is the support vertex in every probe), and at Newton
+    iterations=1 whether the deepest point carries a contact decides
+    closed-loop stability.
+    """
     dist_mask = jnp.where(mask, 0.0, -1e6)
-    a_idx = jnp.argmax(dist_mask)
+    if support is not None:
+        # deepest vertex overall: also the closest vertex when separated,
+        # so candidate 0 doubles as the min-distance query point
+        a_idx = jnp.argmax(support)
+    else:
+        a_idx = jnp.argmax(dist_mask)
     a = poly[a_idx]
     b_idx = jnp.argmax(((a - poly) ** 2).sum(-1) + dist_mask)
     b = poly[b_idx]
@@ -76,8 +92,14 @@ def plane_hull(
     n = plane_mat[:, 2]
     w = hull_pos + verts @ hull_mat.T  # (V, 3) world
     support = (plane_pos - w) @ n  # depth below plane (positive = penetrating)
-    mask = support > 0
-    idx = _manifold_points(w, mask, n)
+    # Candidate band: within 1mm of the deepest vertex (MJX plane_convex
+    # semantics). Selecting among ALL penetrating vertices spreads the
+    # manifold to shallow corners of a curved sole, which under-reports
+    # depth at the support point and destabilizes the warmstarted
+    # iterations=1 Newton solve (energy injection). MuJoCo 3.10 likewise
+    # clusters its plane-mesh contacts tightly around the deepest vertex.
+    mask = support > jnp.maximum(0.0, support.max() - 1e-3)
+    idx = _manifold_points(w, mask, n, support)
     valid = _dedup(idx) & mask[idx]
     # first candidate always reports the true min distance (for queries)
     valid = valid.at[0].set(True)
@@ -148,9 +170,9 @@ def hfield_hull(
     # signed distance along the surface normal (approx: vertical gap projected)
     gap = (local[..., 2] - z_surf) * n_local[..., 2]
     support = -gap
-    # aggregate normal from the deepest vertex
-    mask = support > 0
-    idx = _manifold_points(w, mask, hf_mat[:, 2])
+    # candidate band near the deepest vertex (see plane_hull)
+    mask = support > jnp.maximum(0.0, support.max() - 1e-3)
+    idx = _manifold_points(w, mask, hf_mat[:, 2], support)
     valid = _dedup(idx) & mask[idx]
     valid = valid.at[0].set(True)
     dist = -support[idx]

@@ -214,9 +214,12 @@ def forward(m: Model, d: Data) -> Data:
     qfrc_smooth = qfrc_passive - qfrc_bias + qfrc_actuator
     qacc_smooth = linalg.solve_psd(M, qfrc_smooth)
 
-    # constraints
+    # constraints (warmstarted from the previous solve, as MuJoCo/MJX do;
+    # the solution is saved back into qacc_warmstart below)
     efc = con.make_efc(m, qvel, qpos, contact, cdof, subtree_com)
-    qacc, qfrc_constraint = nsolver.solve(m, M, qacc_smooth, efc)
+    qacc, qfrc_constraint = nsolver.solve(
+        m, M, qacc_smooth, efc, warmstart=d.qacc_warmstart
+    )
 
     # acceleration-stage sensors need post-constraint body accelerations
     cacc = smooth.rne_postconstraint_cacc(m, cinert, cdof, cdofdot, qvel, qacc)
@@ -224,6 +227,7 @@ def forward(m: Model, d: Data) -> Data:
 
     return d.replace(
         qacc=qacc,
+        qacc_warmstart=qacc,
         xpos=xpos,
         xquat=xquat,
         xmat=xmat,
@@ -277,6 +281,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qvel=jnp.zeros(m.nv, dtype),
         ctrl=jnp.zeros(m.nu, dtype),
         qacc=jnp.zeros(m.nv, dtype),
+        qacc_warmstart=jnp.zeros(m.nv, dtype),
         time=jnp.zeros((), dtype),
         xpos=jnp.zeros((m.nbody, 3), dtype),
         xquat=jnp.zeros((m.nbody, 4), dtype).at[:, 0].set(1.0),

@@ -15,9 +15,9 @@ all linear algebra exploits the kinematic-tree sparsity pattern statically
 (tree-sparse LDL^T, sparse constraint rows).
 
 Matches ops/forward.py semantics (MuJoCo Euler pipeline, Newton solver with
-iterations=1 / ls_iterations=5); validated against it by tests/test_pallas.py.
-Supports PLANE_HULL and HULL_HULL contact pairs (flat-terrain scenes);
-heightfield scenes stay on the XLA path.
+iterations=1 / ls_iterations=5); validated against it by tests/test_lane.py.
+Supports PLANE_HULL, HULL_HULL and HFIELD_HULL contact pairs — all duck
+scene types (heightfield cells gather via the one-hot MXU path in-kernel).
 """
 
 from __future__ import annotations
@@ -528,8 +528,10 @@ class LanePhysics:
         payload = [(support[v], w[v][0], w[v][1], w[v][2],
                     jnp.where(mask[v], 1.0, 0.0)) for v in range(V)]
 
-        # a: deepest masked point (score = dist_mask; ties -> first)
-        a_i, a_p = self._running_argmax(dist_mask, payload)
+        # a: deepest vertex overall (ops/collision._manifold_points: the
+        # support vertex always carries contact 0, and doubles as the
+        # min-distance query point when separated)
+        a_i, a_p = self._running_argmax(support, payload)
         a = [a_p[1], a_p[2], a_p[3]]
         # b: farthest from a
         sc_b = [ln.v3_dot(ln.v3_sub(a, w[v]), ln.v3_sub(a, w[v])) + dist_mask[v]
@@ -567,8 +569,6 @@ class LanePhysics:
             if k == 0:
                 valid = valid | True  # first candidate always reports dist
             dist = -sup_k
-            pos = ln.v3_sub(pos_k, ln.v3_scale(normal_const, 0.5))  # placeholder
-            pos = ln.v3_add(pos_k, ln.v3_scale(normal_const, 0.0))
             # pos = w - 0.5 * dist * n
             pos = [pos_k[i] - 0.5 * dist * normal_const[i] for i in range(3)]
             dist = jnp.where(valid, dist, _BIG)
@@ -611,7 +611,13 @@ class LanePhysics:
                 # support = (plane_pos - w) . n
                 ppn = float(np.dot(pp, Rp[:, 2]))
                 support = [ppn - ln.v3_dot(w[v], n) for v in range(len(w))]
-                mask = [s > 0 for s in support]
+                # candidate band within 1mm of the deepest vertex (see
+                # ops/collision.plane_hull for rationale)
+                smax = support[0]
+                for s in support[1:]:
+                    smax = jnp.maximum(smax, s)
+                band = jnp.maximum(0.0, smax - 1e-3)
+                mask = [s > band for s in support]
                 cand = self._manifold(w, support, mask, n)
                 frame = self._const_frame(n)
                 contacts.append((cand, frame, None))
@@ -689,8 +695,13 @@ class LanePhysics:
             z_surf, nv = self._hf_sample(loc[0], loc[1], hf, gather)
             gap = (loc[2] - z_surf) * nv[2]
             support.append(-gap)
-            mask.append(-gap > 0)
             n_loc.append(nv)
+        # candidate band within 1mm of the deepest vertex (see plane path)
+        smax = support[0]
+        for s in support[1:]:
+            smax = jnp.maximum(smax, s)
+        band = jnp.maximum(0.0, smax - 1e-3)
+        mask = [s > band for s in support]
         up = [float(R[i][2]) for i in range(3)]
         cand, n0_loc = self._manifold_hf(w, support, mask, up, n_loc)
         # world normal of the deepest vertex -> shared contact frame
@@ -720,7 +731,8 @@ class LanePhysics:
         payload = [(support[v], w[v][0], w[v][1], w[v][2],
                     jnp.where(mask[v], 1.0, 0.0),
                     n_loc[v][0], n_loc[v][1], n_loc[v][2]) for v in range(V)]
-        a_i, a_p = self._running_argmax(dist_mask, payload)
+        # a: deepest vertex overall (see _manifold)
+        a_i, a_p = self._running_argmax(support, payload)
         a = [a_p[1], a_p[2], a_p[3]]
         n0_loc = [a_p[5], a_p[6], a_p[7]]
         sc_b = [ln.v3_dot(ln.v3_sub(a, w[v]), ln.v3_sub(a, w[v])) + dist_mask[v]
@@ -1013,19 +1025,55 @@ class LanePhysics:
                 out[j] = t2 if out[j] is None else out[j] + t2
         return out
 
-    def solve_constraints(self, M, qacc_smooth, rows):
+    def _jv(self, row, v):
+        out = None
+        for (d, cf) in row["support"]:
+            t = cf * v[d]
+            out = t if out is None else out + t
+        return out
+
+    def _primal_cost(self, M, qacc_smooth, rows, q):
+        """Gauss + constraint cost at q (MuJoCo's warmstart comparison)."""
+        nv = self.m.nv
+        diff = [q[i] - qacc_smooth[i] for i in range(nv)]
+        Md = self._mat_vec_tree(M, diff)
+        cost = diff[0] * 0.0
+        for i in range(nv):
+            cost = cost + 0.5 * diff[i] * Md[i]
+        for r in rows:
+            x = self._jv(r, q) - r["aref"]
+            Dx = r["D"] * x
+            if r["is_fri"]:
+                inside = jnp.abs(Dx) <= r["floss"]
+                c = jnp.where(
+                    inside,
+                    0.5 * r["D"] * x * x,
+                    r["floss"] * jnp.abs(x) - 0.5 * r["floss"] * r["floss"] / r["D"],
+                )
+            else:
+                act = (r["pos"] < 0.0) & (x < 0.0)
+                c = jnp.where(act, 0.5 * r["D"] * x * x, 0.0)
+            cost = cost + c
+        return cost
+
+    def solve_constraints(self, M, qacc_smooth, rows, warm=None):
         m = self.m
         nv = m.nv
-        qacc = list(qacc_smooth)
-        zero = qacc[0] * 0.0
+        zero = qacc_smooth[0] * 0.0
+        cold = warm is None
+        if cold:
+            qacc = list(qacc_smooth)
+        else:
+            # MuJoCo Newton warmstart: start from whichever of
+            # {qacc_warmstart, qacc_smooth} has lower primal cost
+            cost_ws = self._primal_cost(M, qacc_smooth, rows, warm)
+            cost_sm = self._primal_cost(M, qacc_smooth, rows, qacc_smooth)
+            use_ws = cost_ws < cost_sm
+            qacc = [
+                jnp.where(use_ws, warm[i], qacc_smooth[i]) for i in range(nv)
+            ]
 
-        def jv(row, v):
-            out = None
-            for (d, cf) in row["support"]:
-                t = cf * v[d]
-                out = t if out is None else out + t
-            return out
-
+        jv = self._jv
         Jaref = [jv(r, qacc) - r["aref"] for r in rows]
 
         for it in range(max(1, m.opt.iterations)):
@@ -1044,7 +1092,7 @@ class LanePhysics:
                     fs.append(jnp.where(active, -Dx, 0.0))
                     hmask.append(active)
             # grad = M (qacc - qacc_smooth) - J^T f
-            if it == 0:
+            if it == 0 and cold:
                 Ma_err = [zero] * nv
                 grad = [zero] * nv
             else:
@@ -1240,8 +1288,12 @@ class LanePhysics:
     # one full substep + n-substep entry
     # ------------------------------------------------------------------
     def substep(self, qpos, qvel, ctrl, dr, want_derived=False,
-                hf=None, gather="direct"):
-        """One physics substep on lane lists; returns (qpos', qvel', derived).
+                hf=None, gather="direct", warm=None):
+        """One physics substep on lane lists.
+
+        Returns (qpos', qvel', warm', derived): warm' is the Newton solution
+        (the next substep's qacc_warmstart, MuJoCo semantics); pass warm=None
+        for a cold start (mj_resetData-equivalent).
 
         derived (when requested): dict with sensordata, actuator_force,
         contact_dist, site_xpos, site_xmat lane lists — everything the envs
@@ -1263,7 +1315,9 @@ class LanePhysics:
         L, dinv = self.ldl.factor(M)
         qacc_smooth = self.ldl.solve(L, dinv, qfrc_smooth)
         rows = self.make_efc(qvel, qpos, contacts, cdof, subtree_com, dr)
-        qacc, qfrc_constraint = self.solve_constraints(M, qacc_smooth, rows)
+        qacc, qfrc_constraint = self.solve_constraints(
+            M, qacc_smooth, rows, warm=warm
+        )
 
         dt = float(m.opt.timestep)
         qvel_new = [qvel[i] + dt * qacc[i] for i in range(m.nv)]
@@ -1287,19 +1341,20 @@ class LanePhysics:
                 qacc=qacc,
                 qfrc_constraint=qfrc_constraint,
             )
-        return qpos_new, qvel_new, derived
+        return qpos_new, qvel_new, qacc, derived
 
     def step_n(self, qpos, qvel, ctrl, n_substeps, dr=None, hf=None,
-               gather="direct"):
+               gather="direct", warm=None):
         """n substeps with fixed ctrl; derived from the LAST substep's
-        pre-integration state (mjx_env.step semantics, forward.step_n)."""
+        pre-integration state (mjx_env.step semantics, forward.step_n).
+        Returns (qpos, qvel, warm, derived)."""
         derived = None
         for k in range(n_substeps):
-            qpos, qvel, derived = self.substep(
+            qpos, qvel, warm, derived = self.substep(
                 qpos, qvel, ctrl, dr, want_derived=(k == n_substeps - 1),
-                hf=hf, gather=gather,
+                hf=hf, gather=gather, warm=warm,
             )
-        return qpos, qvel, derived
+        return qpos, qvel, warm, derived
 
 
 def _np_quat_mul(a, b):

@@ -11,9 +11,13 @@ Integration: `make_fused_step_n(model, n_substeps)` returns a drop-in for
 `fwd.step_n` wrapped in `jax.custom_batching.custom_vmap` — unbatched calls
 (driver compile checks, single-env debugging) fall back to the XLA path,
 while the vmapped call inside the training wrapper dispatches to the fused
-kernel. Used on a single TPU chip with flat-terrain scenes; heightfield
-scenes and multi-chip GSPMD runs stay on the XLA path (a pallas_call has no
-partitioning rule, so GSPMD would gather the env axis onto one chip).
+kernel. All duck scene types are handled, including heightfields (the
+hfield table rides into VMEM and gathers via the one-hot MXU path).
+
+Multi-chip: a pallas_call has no GSPMD partitioning rule, so when an env
+mesh is registered (parallel/mesh.py set_env_mesh — done by ppo.train on
+>1 device) the call is wrapped in shard_map over that mesh: each chip runs
+its own local 1024-env blocks and no cross-chip gathers are emitted.
 
 Fidelity: validated against ops/forward.py by tests/test_lane.py (solver
 inputs to ~1e-4; full substeps on settled states; standing trajectories) —
@@ -101,6 +105,7 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
     n_out = {
         "qpos": m.nq,
         "qvel": m.nv,
+        "qacc_warmstart": m.nv,
         "sensordata": m.nsensordata,
         "actuator_force": m.nu,
         "contact_dist": m.ncon,
@@ -116,8 +121,8 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
     )
 
     def kernel(*refs):
-        qpos_ref, qvel_ref, ctrl_ref = refs[0], refs[1], refs[2]
-        pos = 3
+        qpos_ref, qvel_ref, warm_ref, ctrl_ref = refs[0], refs[1], refs[2], refs[3]
+        pos = 4
         if with_dr:
             dr_refs = refs[pos : pos + len(DR_FIELDS)]
             pos += len(DR_FIELDS)
@@ -137,27 +142,31 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
 
         qpos = [qpos_ref[i, 0] for i in range(m.nq)]
         qvel = [qvel_ref[i, 0] for i in range(m.nv)]
+        warm = [warm_ref[i, 0] for i in range(m.nv)]
         ctrl = [ctrl_ref[i, 0] for i in range(m.nu)]
 
         # n-1 derived-free substeps under fori_loop (one trace), then the
         # final substep with derived outputs (mjx_env.step semantics)
         if n_substeps > 1:
             def body(_, carry):
-                qp, qv = carry
-                qp, qv, _ = lane.substep(qp, qv, ctrl, dr, want_derived=False,
-                                         hf=hf, gather=gather)
-                return (qp, qv)
+                qp, qv, w = carry
+                qp, qv, w, _ = lane.substep(qp, qv, ctrl, dr,
+                                            want_derived=False,
+                                            hf=hf, gather=gather, warm=w)
+                return (qp, qv, w)
 
-            qpos, qvel = jax.lax.fori_loop(
-                0, n_substeps - 1, body, (qpos, qvel)
+            qpos, qvel, warm = jax.lax.fori_loop(
+                0, n_substeps - 1, body, (qpos, qvel, warm)
             )
-        qpos, qvel, derived = lane.substep(qpos, qvel, ctrl, dr,
-                                           want_derived=True,
-                                           hf=hf, gather=gather)
+        qpos, qvel, warm, derived = lane.substep(qpos, qvel, ctrl, dr,
+                                                 want_derived=True,
+                                                 hf=hf, gather=gather,
+                                                 warm=warm)
 
         outs = {
             "qpos": qpos,
             "qvel": qvel,
+            "qacc_warmstart": warm,
             "sensordata": derived["sensordata"],
             "actuator_force": derived["actuator_force"],
             "contact_dist": derived["contact_dist"],
@@ -171,7 +180,8 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
                     jnp.float32
                 )
 
-    def call(qpos_b, qvel_b, ctrl_b, dr_flat: Optional[Dict[str, jax.Array]]):
+    def call(qpos_b, qvel_b, warm_b, ctrl_b,
+             dr_flat: Optional[Dict[str, jax.Array]]):
         B = qpos_b.shape[0]
         assert B % BLOCK == 0, (B, BLOCK)
         nb = B // BLOCK
@@ -186,9 +196,10 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
         inputs = [
             _to_lane_layout(qpos_b),
             _to_lane_layout(qvel_b),
+            _to_lane_layout(warm_b),
             _to_lane_layout(ctrl_b),
         ]
-        in_specs = [spec(m.nq), spec(m.nv), spec(m.nu)]
+        in_specs = [spec(m.nq), spec(m.nv), spec(m.nv), spec(m.nu)]
         if with_dr:
             for f in DR_FIELDS:
                 x = dr_flat[f]
@@ -222,7 +233,46 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
         )(*inputs)
         return {k: _from_lane_layout(v) for k, v in zip(n_out, outs)}
 
+    def call_sharded(qpos_b, qvel_b, warm_b, ctrl_b, dr_flat, mesh):
+        """shard_map the kernel over the env mesh: each device runs its
+        local B/n_dev envs (must divide BLOCK). Closed-over constants
+        (hfield table) replicate automatically."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(mesh.axis_names[0])
+        if dr_flat is None:
+            fn = shard_map(
+                lambda qp, qv, w, c: call(qp, qv, w, c, None),
+                mesh=mesh, in_specs=(spec, spec, spec, spec),
+                out_specs=spec, check_rep=False,
+            )
+            return fn(qpos_b, qvel_b, warm_b, ctrl_b)
+        fn = shard_map(
+            call, mesh=mesh,
+            in_specs=(spec, spec, spec, spec,
+                      {k: spec for k in dr_flat}),
+            out_specs=spec, check_rep=False,
+        )
+        return fn(qpos_b, qvel_b, warm_b, ctrl_b, dr_flat)
+
+    call.sharded = call_sharded
     return call
+
+
+def _active_mesh():
+    """Env mesh to shard_map over, or None for the single-device path."""
+    from open_duck_playground_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.get_env_mesh()
+    if mesh is None or mesh.devices.size <= 1:
+        return None
+    return mesh
+
+
+def _mesh_size() -> int:
+    mesh = _active_mesh()
+    return 1 if mesh is None else int(mesh.devices.size)
 
 
 _LANE_REGISTRY: Dict[int, LanePhysics] = {}
@@ -252,13 +302,19 @@ def fused_step_n_batched(
     """
     key = get_lane(m)
     call = _build_kernel(key, n_substeps, dr_flat is not None)
-    out = call(d.qpos, d.qvel, ctrl, dr_flat)
+    mesh = _active_mesh()
+    if mesh is not None:
+        out = call.sharded(d.qpos, d.qvel, d.qacc_warmstart, ctrl, dr_flat,
+                           mesh)
+    else:
+        out = call(d.qpos, d.qvel, d.qacc_warmstart, ctrl, dr_flat)
     B = d.qpos.shape[0]
     nsite = m.nsite
     contact = d.contact.replace(dist=out["contact_dist"])
     return d.replace(
         qpos=out["qpos"],
         qvel=out["qvel"],
+        qacc_warmstart=out["qacc_warmstart"],
         ctrl=jnp.broadcast_to(ctrl, d.ctrl.shape),
         sensordata=out["sensordata"],
         actuator_force=out["actuator_force"],
@@ -316,27 +372,30 @@ def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
         )
         ok = (
             not other_batched
+            # partial DR batching falls back instead of asserting
+            and batched_fields in (set(), set(DR_FIELDS))
             and not _has_tracers(m_plain)
             and supports_model(m_plain)
-            and axis_size % BLOCK == 0
+            # under a registered env mesh each device's local shard must
+            # divide into whole 1024-env blocks
+            and axis_size % (BLOCK * _mesh_size()) == 0
             and jax.tree_util.tree_all(
                 jax.tree_util.tree_map(lambda x: bool(x), d_b)
             )
             and bool(ctrl_b)
         )
         if not ok:
-            # generic fallback: plain vmap of the XLA path
+            # generic fallback: plain vmap of the XLA path, with per-leaf
+            # in_axes derived from the actual batching flags (an unbatched
+            # d/ctrl leaf must map to in_axes=None, not 0)
             out = jax.vmap(
                 lambda mm, dd, cc: fwd.step_n(mm, dd, cc, n_substeps),
-                in_axes=(_model_axes(m_b), 0, 0),
+                in_axes=(_model_axes(m_b), _flag_axes(d_b), _flag_axes(ctrl_b)),
+                axis_size=axis_size,
             )(m, d, ctrl)
             return out, jax.tree_util.tree_map(lambda _: True, out)
 
-        dr_flat = None
-        if batched_fields:
-            assert batched_fields == set(DR_FIELDS), (
-                "partial DR field batching unsupported", batched_fields)
-            dr_flat = flatten_dr_fields(m)
+        dr_flat = flatten_dr_fields(m) if batched_fields else None
         out = fused_step_n_batched(m_plain, d, ctrl, n_substeps, dr_flat)
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
@@ -377,23 +436,22 @@ def make_fused_init(concrete_model: Optional[Model] = None):
         )
         ok = (
             not other_batched
+            and batched_fields in (set(), set(DR_FIELDS))
             and not _has_tracers(m_plain)
             and supports_model(m_plain)
-            and axis_size % BLOCK == 0
+            and axis_size % (BLOCK * _mesh_size()) == 0
             and bool(qpos_b) and bool(qvel_b) and bool(ctrl_b)
         )
         if not ok:
             out = jax.vmap(
                 lambda mm, qp, qv, cc: fwd.init(mm, qp, qv, cc),
-                in_axes=(_model_axes(m_b), 0, 0, 0),
+                in_axes=(_model_axes(m_b), _flag_axes(qpos_b),
+                         _flag_axes(qvel_b), _flag_axes(ctrl_b)),
+                axis_size=axis_size,
             )(m, qpos, qvel, ctrl)
             return out, jax.tree_util.tree_map(lambda _: True, out)
 
-        dr_flat = None
-        if batched_fields:
-            assert batched_fields == set(DR_FIELDS), (
-                "partial DR field batching unsupported", batched_fields)
-            dr_flat = flatten_dr_fields(m)
+        dr_flat = flatten_dr_fields(m) if batched_fields else None
         d0 = fwd.make_data(m_plain, qpos.dtype)
         d = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (axis_size,) + jnp.shape(x)), d0
@@ -433,3 +491,8 @@ def _unbatch_model(m: Model, batched_fields) -> Model:
 
 def _model_axes(m_b: Model):
     return jax.tree_util.tree_map(lambda flag: 0 if flag else None, m_b)
+
+
+def _flag_axes(flags):
+    """in_axes pytree from custom_vmap in_batched flags (True -> 0)."""
+    return jax.tree_util.tree_map(lambda flag: 0 if flag else None, flags)

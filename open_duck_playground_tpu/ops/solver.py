@@ -39,17 +39,53 @@ def _force_and_hessian_mask(efc: Efc, Jaref: jax.Array):
     return f, hess_mask
 
 
+def _cost(efc: Efc, Jaref: jax.Array, gauss: jax.Array) -> jax.Array:
+    """Total primal cost: Gauss term + per-row constraint costs.
+
+    Matches MuJoCo's mj_constraintUpdate cost used by the Newton warmstart
+    comparison: quadratic rows cost 0.5 D x^2 when active, frictionloss rows
+    cost the Huber function saturating at floss.
+    """
+    exists = efc.pos < 0.0
+    quad_active = efc.is_quad & exists & (Jaref < 0.0)
+    Dx = efc.D * Jaref
+    inside = jnp.abs(Dx) <= efc.floss
+    quad = 0.5 * efc.D * Jaref * Jaref
+    huber = jnp.where(
+        inside, quad, efc.floss * jnp.abs(Jaref) - 0.5 * efc.floss * efc.floss / efc.D
+    )
+    c = jnp.where(quad_active, quad, 0.0)
+    c = jnp.where(efc.is_friction, huber, c)
+    return gauss + jnp.sum(c, axis=-1)
+
+
 def solve(
     m: Model,
     M: jax.Array,
     qacc_smooth: jax.Array,
     efc: Efc,
+    warmstart: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (qacc, qfrc_constraint)."""
+    """Returns (qacc, qfrc_constraint).
+
+    `warmstart` is the previous step's qacc: like MuJoCo's Newton solver
+    (engine_solver.c warmstart logic, enabled by default), the start point is
+    whichever of {warmstart, qacc_smooth} has lower primal cost. At the
+    reference's iterations=1 (open_duck_mini_v2.xml:6) the start point
+    dominates the answer, so this is required for MuJoCo trace parity.
+    """
     if efc.J.shape[0] == 0:
         return qacc_smooth, jnp.zeros_like(qacc_smooth)
 
     qacc = qacc_smooth
+    if warmstart is not None:
+        Jaref_ws = efc.J @ warmstart - efc.aref
+        Jaref_sm = efc.J @ qacc_smooth - efc.aref
+        dws = warmstart - qacc_smooth
+        gauss_ws = 0.5 * dws @ (M @ dws)
+        cost_ws = _cost(efc, Jaref_ws, gauss_ws)
+        cost_sm = _cost(efc, Jaref_sm, jnp.zeros((), qacc.dtype))
+        qacc = jnp.where(cost_ws < cost_sm, warmstart, qacc_smooth)
     Jaref = efc.J @ qacc - efc.aref
 
     for _ in range(max(1, m.opt.iterations)):

@@ -315,6 +315,7 @@ class Data:
     qvel: jax.Array  # (nv,)
     ctrl: jax.Array  # (nu,)
     qacc: jax.Array  # (nv,)
+    qacc_warmstart: jax.Array  # (nv,) previous solve's qacc (Newton start)
     time: jax.Array  # ()
 
     # forward-kinematics products (from the most recent forward())

@@ -36,6 +36,22 @@ def make_env_mesh(devices=None) -> Mesh:
     return Mesh(devices, (ENV_AXIS,))
 
 
+# Active env mesh registry: the fused Pallas step has no GSPMD partitioning
+# rule, so ops/pallas_step.py wraps its pallas_call in shard_map over this
+# mesh when one is registered (each chip runs its own 1024-env blocks).
+# ppo.train registers its mesh here; single-chip runs leave it unset.
+_ACTIVE_ENV_MESH: Optional[Mesh] = None
+
+
+def set_env_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_ENV_MESH
+    _ACTIVE_ENV_MESH = mesh
+
+
+def get_env_mesh() -> Optional[Mesh]:
+    return _ACTIVE_ENV_MESH
+
+
 def env_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(ENV_AXIS))
 

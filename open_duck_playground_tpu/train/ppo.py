@@ -126,6 +126,10 @@ def train(
     assert num_envs % n_dev == 0, (num_envs, n_dev)
     sh_env = NamedSharding(mesh, P("env"))
     sh_rep = NamedSharding(mesh, P())
+    # let the fused Pallas step shard_map itself over this mesh
+    from open_duck_playground_tpu.parallel import mesh as mesh_mod
+
+    mesh_mod.set_env_mesh(mesh if n_dev > 1 else None)
 
     train_env = TrainEnv(
         environment,

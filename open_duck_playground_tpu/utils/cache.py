@@ -17,7 +17,13 @@ def setup_compilation_cache(cache_dir: str = ".tmp/jax_cache") -> None:
     # mismatch the execution host (observed "+prefer-no-scatter ... could
     # lead to SIGILL" warnings followed by real crashes in the thunk
     # executor), so the persistent cache is only safe for TPU backends.
-    if jax.default_backend() == "cpu":
+    # default_backend() itself initializes the backend and can raise when
+    # the TPU tunnel is held by another process (round-1 BENCH crash) —
+    # never let cache setup take the process down.
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
         return
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

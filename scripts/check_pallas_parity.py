@@ -104,7 +104,7 @@ with jax.default_device(cpu):
                     [jnp.asarray(flat[:, i * n1 + j]) for j in range(n1)]
                     for i in range(n0)
                 ]
-    qp, qv, derived = lane.step_n(lq, lv, lc, N, dr=dr_tiles)
+    qp, qv, _w, derived = lane.step_n(lq, lv, lc, N, dr=dr_tiles)
 print(f"eager lane done in {time.perf_counter() - t0:.1f}s", flush=True)
 
 
