@@ -73,6 +73,10 @@ def export_onnx(params, act_size: int, ppo_params=None, obs_size: Optional[int] 
         initializers=initializers,
     )
     data = om.model(g, opset=11)
+    # spec conformance gate on every export (independent wire-level checker)
+    from open_duck_playground_tpu.export.onnx_checker import check_model
+
+    check_model(data)
     with open(output_path, "wb") as f:
         f.write(data)
     print(f" === EXPORT ONNX === wrote {output_path} "

@@ -29,14 +29,23 @@ class BaseRunner:
     """Train orchestration: TB writer, PPO recipe, progress/ckpt callbacks."""
 
     def __init__(self, args: argparse.Namespace) -> None:
+        import jax
+
         self.args = args
+        self.is_host0 = jax.process_index() == 0
         self.output_dir = Path.cwd() / Path(args.output_dir)
-        self.output_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_host0:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
         setup_compilation_cache()
 
         from tensorboardX import SummaryWriter
 
-        self.writer = SummaryWriter(log_dir=str(self.output_dir))
+        # host-side outputs (TB, checkpoints, ONNX) only on process 0;
+        # device work is global-SPMD so every process runs the same program
+        self.writer = (
+            SummaryWriter(log_dir=str(self.output_dir)) if self.is_host0
+            else None
+        )
         self.env = None
         self.eval_env = None
         self.randomizer = None
@@ -46,6 +55,8 @@ class BaseRunner:
         self.restore_checkpoint_path = None
 
     def progress_callback(self, num_steps: int, metrics: dict) -> None:
+        if not self.is_host0:
+            return
         for name, value in metrics.items():
             self.writer.add_scalar(name, value, num_steps)
         print("-----------")
@@ -58,6 +69,8 @@ class BaseRunner:
 
     def policy_params_fn(self, current_step, make_policy, params):
         del make_policy
+        if not self.is_host0:
+            return
         d = datetime.now().strftime("%Y_%m_%d_%H%M%S")
         path = f"{self.output_dir}/{d}_{current_step}"
         print(f"Saving checkpoint (step: {current_step}): {path}")
@@ -147,7 +160,25 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_domain_randomization", action="store_true")
     parser.add_argument("--skip_onnx_export", action="store_true")
+    # multi-host launch (one process per host; see parallel/mesh.py):
+    #   python -m ...runner --coordinator_address h0:1234 \
+    #       --num_processes 2 --process_id $RANK ...
+    # Seeding is host-invariant by construction: all RNG derives from
+    # --seed inside globally-jitted SPMD programs over the full-slice mesh,
+    # so N hosts reproduce the 1-host stream (no per-process streams).
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
+
+    # must run before anything initializes a jax backend
+    from open_duck_playground_tpu.parallel.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     runner = OpenDuckMiniV2Runner(args)
     runner.train()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open_duck_playground_tpu.export.export import export_onnx
 from open_duck_playground_tpu.export.onnx_infer import NumpyOnnxSession, OnnxInfer
@@ -70,3 +71,57 @@ def test_model_proto_structure(tmp_path):
     assert ops.count("MatMul") == 4  # 3 hidden + 1 head
     assert ops.count("Sigmoid") == 3  # swish on hidden layers
     assert ops[-1] == "Tanh"
+
+
+def test_onnx_checker_validates_and_rejects(tmp_path):
+    """The independent wire-level checker accepts a fresh export and
+    rejects targeted corruptions (wrong opset, broken SSA, bad shapes)."""
+    import numpy as np
+
+    from open_duck_playground_tpu.export import onnx_model as om
+    from open_duck_playground_tpu.export.onnx_checker import (
+        OnnxCheckError, check_model)
+
+    def build(opset=11, hide_init=False, bad_matmul=False, out_name="continuous_actions"):
+        w = np.ones((4, 3), np.float32) if not bad_matmul else np.ones((5, 3), np.float32)
+        nodes = [
+            om.node("MatMul", ["obs", "w"], ["mm"], "mm"),
+            om.node("Tanh", ["mm"], [out_name], "head"),
+        ]
+        inits = [] if hide_init else [om.tensor("w", w)]
+        g = om.graph(
+            "g", nodes=nodes,
+            inputs=[om.value_info("obs", (1, 4))],
+            outputs=[om.value_info(out_name, (1, 3))],
+            initializers=inits,
+        )
+        return om.model(g, opset=opset)
+
+    info = check_model(build())
+    assert info["obs_size"] == 4 and info["act_size"] == 3
+
+    with pytest.raises(OnnxCheckError, match="opset"):
+        check_model(build(opset=13))
+    with pytest.raises(OnnxCheckError, match="SSA"):
+        check_model(build(hide_init=True))
+    with pytest.raises(OnnxCheckError, match="incompatible"):
+        check_model(build(bad_matmul=True))
+    with pytest.raises(OnnxCheckError, match="output"):
+        check_model(build(out_name="wrong_name"))
+
+
+def test_onnx_checker_on_real_export(tmp_path):
+    """Every real export passes the structural spec check."""
+    from open_duck_playground_tpu.export.export import export_onnx
+    from open_duck_playground_tpu.export.onnx_checker import check_model
+    from open_duck_playground_tpu.train import networks as nets
+
+    obs_sizes = {"state": 12, "privileged_state": 20}
+    network = nets.PPONetworks(obs_sizes, 5,
+                               policy_hidden_layer_sizes=(8, 8))
+    params = network.init(jax.random.PRNGKey(0))
+    normalizer = nets.rs_init(obs_sizes)
+    path = str(tmp_path / "m.onnx")
+    export_onnx((normalizer, params), 5, output_path=path)
+    info = check_model(path)
+    assert info["obs_size"] == 12 and info["act_size"] == 5
