@@ -275,14 +275,40 @@ def _mesh_size() -> int:
     return 1 if mesh is None else int(mesh.devices.size)
 
 
-_LANE_REGISTRY: Dict[int, LanePhysics] = {}
+# LRU-bounded: on the no-concrete_model path _unbatch_model creates a
+# fresh Model per trace, so an unbounded id-keyed registry would leak a
+# full model copy per retrace. Keys are GENERATION numbers, not id(m):
+# after an eviction CPython can reuse the freed model's id for a new
+# Model, and an id-based key would then hit _build_kernel's lru_cache
+# with a stale kernel. While registered, lane.m keeps the model alive so
+# its id cannot be reused; _LANE_BY_ID entries die with their registry
+# entry. Capacity matches _build_kernel's lru_cache(maxsize=8).
+_LANE_REGISTRY_CAP = 8
+_LANE_REGISTRY: "Dict[int, LanePhysics]" = {}
+_LANE_BY_ID: "Dict[int, int]" = {}  # id(model) -> generation key
+_LANE_NEXT_GEN = [0]
 
 
 def get_lane(m: Model) -> int:
-    """Register a LanePhysics for a model; key is id-stable per model object."""
-    key = id(m)
-    if key not in _LANE_REGISTRY:
-        _LANE_REGISTRY[key] = LanePhysics(m)
+    """Register a LanePhysics for a model; returns its generation key.
+
+    Envs pass their long-lived concrete model (see make_fused_step_n's
+    concrete_model contract), so in practice one entry per env; transient
+    models from retraces rotate through the LRU bound.
+    """
+    mid = id(m)
+    key = _LANE_BY_ID.get(mid)
+    if key is not None:
+        _LANE_REGISTRY[key] = _LANE_REGISTRY.pop(key)  # refresh LRU slot
+        return key
+    while len(_LANE_REGISTRY) >= _LANE_REGISTRY_CAP:
+        evicted = next(iter(_LANE_REGISTRY))
+        ev_lane = _LANE_REGISTRY.pop(evicted)
+        _LANE_BY_ID.pop(id(ev_lane.m), None)
+    key = _LANE_NEXT_GEN[0]
+    _LANE_NEXT_GEN[0] += 1
+    _LANE_REGISTRY[key] = LanePhysics(m)
+    _LANE_BY_ID[mid] = key
     return key
 
 
