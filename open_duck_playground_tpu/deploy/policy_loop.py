@@ -49,28 +49,32 @@ class PolicyLoopMixin:
         self.saved_obs = []
 
     def get_obs(self, data, command) -> np.ndarray:
-        """101-d clean actor obs (reference mujoco_infer.py:67-103)."""
+        """Clean actor obs: 101-d joystick (reference mujoco_infer.py:67-103)
+        or 85-d standing (standing.py state hstack — no motor_targets, no
+        imitation phase; the reference's own mujoco_infer builds the
+        joystick layout even with --standing, which cannot feed the 85-d
+        standing policy — fixed here rather than mirrored)."""
         gyro = self.get_gyro(data)
         accelerometer = np.array(self.get_accelerometer(data))
         accelerometer[0] += 1.3  # deploy-side IMU bias (mujoco_infer.py:74)
         joint_angles = self.get_actuator_joints_qpos(data.qpos)
         joint_vel = self.get_actuator_joints_qvel(data.qvel)
         contacts = self.get_feet_contacts(data)
-        return np.concatenate(
-            [
-                gyro,
-                accelerometer,
-                command,
-                joint_angles - self.default_actuator,
-                joint_vel * self.dof_vel_scale,
-                self.last_action,
-                self.last_last_action,
-                self.last_last_last_action,
-                self.motor_targets,
-                contacts,
-                self.imitation_phase,
-            ]
-        )
+        parts = [
+            gyro,
+            accelerometer,
+            command,
+            joint_angles - self.default_actuator,
+            joint_vel * self.dof_vel_scale,
+            self.last_action,
+            self.last_last_action,
+            self.last_last_last_action,
+        ]
+        if self.standing:
+            parts += [contacts]
+        else:
+            parts += [self.motor_targets, contacts, self.imitation_phase]
+        return np.concatenate(parts)
 
     def control_step(self) -> np.ndarray:
         """One 50 Hz control tick: obs -> policy -> clamped motor targets."""
@@ -103,7 +107,7 @@ class PolicyLoopMixin:
         return self.motor_targets
 
     def run(self, seconds: float = 10.0, save_path: str = "mujoco_saved_obs.pkl",
-            teleop=None):
+            teleop=None, video=None):
         n_ticks = int(seconds * 50)
         try:
             for tick in range(n_ticks):
@@ -111,6 +115,8 @@ class PolicyLoopMixin:
                     teleop.poll(self)
                 targets = self.control_step()
                 self.step_control(targets)
+                if video is not None and tick % 2 == 0:  # 50 Hz -> 25 fps
+                    video.add_qpos_frame(np.asarray(self.data.qpos))
                 if tick % 50 == 0:
                     up_z = self.get_gravity(self.data)[2]
                     print(

@@ -4,11 +4,13 @@ Kinematically replays the polynomial gait library by writing reference
 joint targets into qpos each control tick and running forward kinematics.
 The reference uses the interactive MuJoCo viewer (+ optional pygame
 joysticks); this image is headless, so playback renders foot/base
-trajectories to a PNG instead, and --print dumps per-tick frames.
+trajectories to a PNG (--out), an offscreen MuJoCo video (--render), and
+--print dumps per-tick frames.
 
 Usage:
   python -m open_duck_playground_tpu.deploy.ref_motion_viewer \
-      [--command dx dy dtheta] [--periods 3] [--out ref_motion.png]
+      [--command dx dy dtheta] [--periods 3] [--out ref_motion.png] \
+      [--render ref_motion.gif]
 """
 
 from __future__ import annotations
@@ -25,10 +27,21 @@ from open_duck_playground_tpu.mjcf import npdynamics as npd
 from open_duck_playground_tpu.models.open_duck_mini_v2 import constants
 
 
-def playback(command=(0.1, 0.0, 0.0), periods=3, out="ref_motion.png", verbose=False):
+def playback(command=(0.1, 0.0, 0.0), periods=3, out="ref_motion.png",
+             verbose=False, render=None):
+    # deploy-side tool: never touch the TPU tunnel for a kinematic replay
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     prm = PolyReferenceMotion(constants.reference_motion_path())
     model = compile_mjcf(constants.task_to_xml("flat_terrain"))
     kf = model.keyframe("home")
+
+    video = None
+    if render:
+        from open_duck_playground_tpu.deploy.render import MjVideoRenderer
+
+        video = MjVideoRenderer(constants.task_to_xml("flat_terrain"))
 
     # reference joint frame indices 0..15 map to the 14 actuators by name
     # order (left leg 5, neck/head 4, right leg 5 with 2 antenna slots
@@ -63,10 +76,14 @@ def playback(command=(0.1, 0.0, 0.0), periods=3, out="ref_motion.png", verbose=F
             b = site_bodyid[sid]
             feet.append(xpos[b] + npd.quat_rot(xquat[b], site_pos[sid]))
         foot_traj.append(np.concatenate(feet))
+        if video is not None and i % 2 == 0:  # 50 Hz -> 25 fps
+            video.add_qpos_frame(qpos)
         if verbose:
             print(f"i={i:3d} Lfoot={np.round(feet[0], 3)} Rfoot={np.round(feet[1], 3)}")
 
     foot_traj = np.asarray(foot_traj)
+    if video is not None and video.frames:
+        video.save(render)
     if out:
         import matplotlib
 
@@ -94,8 +111,11 @@ def main():
     parser.add_argument("--periods", type=int, default=3)
     parser.add_argument("--out", type=str, default="ref_motion.png")
     parser.add_argument("--print", dest="verbose", action="store_true")
+    parser.add_argument("--render", type=str, default=None,
+                        help="also write a .gif/.mp4 of the playback (EGL)")
     args = parser.parse_args()
-    playback(tuple(args.command), args.periods, args.out, args.verbose)
+    playback(tuple(args.command), args.periods, args.out, args.verbose,
+             args.render)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,9 @@ def main():
     parser.add_argument("--interactive", action="store_true",
                         help="terminal keyboard teleop (see deploy/teleop.py)")
     parser.add_argument("--save_obs", type=str, default="mujoco_saved_obs.pkl")
+    parser.add_argument("--render", type=str, default=None,
+                        help="record the rollout to a .gif/.mp4 (EGL offscreen; "
+                             "frames re-posed in MuJoCo from our engine's qpos)")
     args = parser.parse_args()
 
     import jax
@@ -71,11 +74,19 @@ def main():
         from open_duck_playground_tpu.deploy.teleop import StdinTeleop
 
         teleop = StdinTeleop()
+    video = None
+    if args.render:
+        from open_duck_playground_tpu.deploy.render import MjVideoRenderer
+
+        video = MjVideoRenderer(model_path)
     try:
-        infer.run(seconds=args.seconds, save_path=args.save_obs, teleop=teleop)
+        infer.run(seconds=args.seconds, save_path=args.save_obs, teleop=teleop,
+                  video=video)
     finally:
         if teleop is not None:
             teleop.close()
+        if video is not None and video.frames:
+            video.save(args.render)
 
 
 if __name__ == "__main__":

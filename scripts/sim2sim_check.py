@@ -1,21 +1,29 @@
-"""Sim-to-sim acceptance gate: the exported policy must WALK, in both
-engines, to a quantified bar.
+"""Sim-to-sim acceptance gate: the exported policy must meet its task bar
+in BOTH engines — this framework's own physics and the real MuJoCo C engine.
 
-Rolls the ONNX policy for `--seconds` under a forward-velocity command in
-(a) this framework's own engine (deploy/sim_infer.py) and (b) the REAL
-MuJoCo C engine (deploy/mujoco_infer.py), then enforces:
-
+Joystick (default): rolls the ONNX policy for `--seconds` under a forward
+velocity command and enforces
   - upright the whole run (up_z > 0 throughout; no fall)
   - achieved forward speed >= --min_track_frac of the commanded vx
     (default 0.7, the acceptance bar VERDICT round 1 asked to define;
     the reference's own recipe is validated by the robot walking,
     README.md:94-98 — 70% command tracking in clean sim is the proxy)
 
+Standing (--standing): rolls under a head-pose command and enforces
+  - upright the whole run (up_z >= 0.9 throughout)
+  - base translation <= --max_drift_m (default 0.15 m) — the task is to
+    stand still; head-joint angles vs command are reported informationally
+    (the reference's head_pos cost is gated on locomotion, standing.py
+    samples zero locomotion commands, so head tracking carries no reward
+    pressure — a quirk preserved for parity).
+
 Prints one JSON line per engine plus a final PASS/FAIL, exit code 0/1.
 
 Usage:
   python scripts/sim2sim_check.py -o policy.onnx [--task flat_terrain_backlash]
       [--vx 0.12] [--seconds 10] [--min_track_frac 0.7] [--skip_own]
+  python scripts/sim2sim_check.py -o standing.onnx --standing [--task flat_terrain_backlash]
+      [--head 0.2 0.2 0.5 0.0] [--max_drift_m 0.15]
 """
 
 from __future__ import annotations
@@ -26,47 +34,67 @@ import io
 import json
 import sys
 
+import numpy as np
 
-def run_engine(kind: str, model_path: str, reference_data: str,
-               onnx_path: str, vx: float, seconds: float):
+
+def make_engine(kind: str, model_path: str, reference_data: str,
+                onnx_path: str, standing: bool):
     if kind == "mujoco":
         from open_duck_playground_tpu.deploy.mujoco_infer import MjInfer
 
-        inf = MjInfer(model_path, reference_data, onnx_path)
-    else:
-        import jax
+        return MjInfer(model_path, reference_data, onnx_path, standing)
+    import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        from open_duck_playground_tpu.deploy.sim_infer import SimInfer
+    jax.config.update("jax_platforms", "cpu")
+    from open_duck_playground_tpu.deploy.sim_infer import SimInfer
 
-        inf = SimInfer(model_path, reference_data, onnx_path)
-    inf.commands = [vx, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    import numpy as np
+    return SimInfer(model_path, reference_data, onnx_path, standing)
+
+
+def run_engine(kind: str, model_path: str, reference_data: str,
+               onnx_path: str, command, seconds: float, standing: bool):
+    inf = make_engine(kind, model_path, reference_data, onnx_path, standing)
+    inf.commands = list(command)
 
     start = np.asarray(inf.data.qpos[:2], float).copy()
     min_up = 1.0
     n_ticks = int(seconds * 50)
+    head_tail = []  # head-joint angles over the last 2 s
     with contextlib.redirect_stdout(io.StringIO()):
-        for _ in range(n_ticks):
+        for tick in range(n_ticks):
             targets = inf.control_step()
             inf.step_control(targets)
             min_up = min(min_up, float(inf.get_gravity(inf.data)[2]))
             if min_up < 0:
                 break
+            if standing and tick >= n_ticks - 100:
+                head_tail.append(
+                    np.asarray(inf.get_actuator_joints_qpos(inf.data.qpos))[5:9]
+                )
     end = np.asarray(inf.data.qpos[:2], float).copy()
     dist = float(np.linalg.norm(end - start))
     fwd = float(end[0] - start[0])
-    return {
+    vx = command[0]
+    out = {
         "engine": kind,
-        "command_vx": vx,
+        "task": "standing" if standing else "joystick",
         "seconds": seconds,
         "walked_m": round(dist, 3),
         "forward_m": round(fwd, 3),
-        "achieved_vx": round(fwd / seconds, 4),
-        "track_frac": round(fwd / seconds / vx, 3) if vx else None,
         "min_up_z": round(min_up, 3),
         "fell": min_up < 0,
     }
+    if standing:
+        out["command_head"] = [round(c, 3) for c in command[3:]]
+        if head_tail:
+            out["achieved_head"] = [
+                round(float(v), 3) for v in np.mean(head_tail, axis=0)
+            ]
+    else:
+        out["command_vx"] = vx
+        out["achieved_vx"] = round(fwd / seconds, 4)
+        out["track_frac"] = round(fwd / seconds / vx, 3) if vx else None
+    return out
 
 
 def main():
@@ -76,6 +104,12 @@ def main():
     p.add_argument("--vx", type=float, default=0.12)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--min_track_frac", type=float, default=0.7)
+    p.add_argument("--standing", action="store_true")
+    p.add_argument("--head", type=float, nargs=4, default=[0.2, 0.2, 0.5, 0.0],
+                   help="neck_pitch head_pitch head_yaw head_roll (--standing)")
+    p.add_argument("--max_drift_m", type=float, default=0.15)
+    p.add_argument("--min_up_z", type=float, default=0.9,
+                   help="uprightness floor for --standing")
     p.add_argument("--skip_own", action="store_true",
                    help="only the MuJoCo engine (own engine needs a jax compile)")
     args = p.parse_args()
@@ -85,20 +119,36 @@ def main():
     model_path = constants.task_to_xml(args.task)
     reference_data = constants.reference_motion_path()
 
+    if args.standing:
+        command = [0.0, 0.0, 0.0] + list(args.head)
+    else:
+        command = [args.vx, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
     results = []
     engines = ["mujoco"] if args.skip_own else ["mujoco", "own"]
     for kind in engines:
         r = run_engine(kind, model_path, reference_data,
-                       args.onnx_model_path, args.vx, args.seconds)
+                       args.onnx_model_path, command, args.seconds,
+                       args.standing)
         results.append(r)
         print(json.dumps(r), flush=True)
 
-    ok = all(
-        (not r["fell"]) and r["track_frac"] is not None
-        and r["track_frac"] >= args.min_track_frac
-        for r in results
-    )
-    print(json.dumps({"pass": ok, "min_track_frac": args.min_track_frac}))
+    if args.standing:
+        ok = all(
+            (not r["fell"]) and r["min_up_z"] >= args.min_up_z
+            and r["walked_m"] <= args.max_drift_m
+            for r in results
+        )
+        bar = {"pass": ok, "min_up_z": args.min_up_z,
+               "max_drift_m": args.max_drift_m}
+    else:
+        ok = all(
+            (not r["fell"]) and r["track_frac"] is not None
+            and r["track_frac"] >= args.min_track_frac
+            for r in results
+        )
+        bar = {"pass": ok, "min_track_frac": args.min_track_frac}
+    print(json.dumps(bar))
     sys.exit(0 if ok else 1)
 
 
