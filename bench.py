@@ -36,25 +36,52 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _init_backend(force_cpu: bool, attempts: int = 5):
-    """Initialize a JAX backend; retry the TPU tunnel with backoff."""
+def _init_backend(force_cpu: bool, attempts: int = 5, hang_timeout: float = 600.0):
+    """Initialize a JAX backend; retry the TPU tunnel with backoff.
+
+    The axon tunnel can HANG (not raise) when the remote chip claim is
+    wedged by a dead predecessor — observed round 1/2. jax.devices() is
+    uninterruptible from Python, so a watchdog emits the parseable error
+    JSON and exits the process if init exceeds `hang_timeout`.
+    """
+    import os
+    import threading
+
     import jax
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         return jax.devices()
-    delay = 10.0
-    for i in range(attempts):
-        try:
-            devs = jax.devices()
-            log(f"[bench] backend {jax.default_backend()} with {len(devs)} device(s)")
-            return devs
-        except Exception as e:  # tunnel busy / init failure
-            log(f"[bench] backend init attempt {i + 1}/{attempts} failed: {e}")
-            if i == attempts - 1:
-                raise
-            time.sleep(delay)
-            delay = min(delay * 1.7, 60.0)
+
+    def _watchdog():
+        log(f"[bench] backend init exceeded {hang_timeout:.0f}s — tunnel wedged")
+        print(json.dumps({
+            "metric": "env_steps_per_sec_per_chip_joystick_dr_4096envs",
+            "value": 0,
+            "unit": "env-steps/s/chip",
+            "vs_baseline": 0,
+            "error": f"TunnelHang: backend init exceeded {hang_timeout:.0f}s",
+        }), flush=True)
+        os._exit(0)
+
+    guard = threading.Timer(hang_timeout, _watchdog)
+    guard.daemon = True
+    guard.start()
+    try:
+        delay = 10.0
+        for i in range(attempts):
+            try:
+                devs = jax.devices()
+                log(f"[bench] backend {jax.default_backend()} with {len(devs)} device(s)")
+                return devs
+            except Exception as e:  # tunnel busy / init failure
+                log(f"[bench] backend init attempt {i + 1}/{attempts} failed: {e}")
+                if i == attempts - 1:
+                    raise
+                time.sleep(delay)
+                delay = min(delay * 1.7, 60.0)
+    finally:
+        guard.cancel()
 
 
 def run_bench(args) -> dict:

@@ -13,17 +13,22 @@ import os
 def setup_compilation_cache(cache_dir: str = ".tmp/jax_cache") -> None:
     import jax
 
-    # The XLA:CPU AOT cache in this image records machine features that
-    # mismatch the execution host (observed "+prefer-no-scatter ... could
-    # lead to SIGILL" warnings followed by real crashes in the thunk
-    # executor), so the persistent cache is only safe for TPU backends.
+    # XLA:CPU AOT cache entries record the *compile-time* machine-feature
+    # string, which includes compiler preferences (+prefer-no-scatter,
+    # +prefer-no-gather) that never appear in the host-detected feature
+    # list, so reloads warn "could lead to SIGILL". Verified on this image
+    # (round 2): the actual ISA features match, cached executables reload
+    # and produce bit-identical trajectories (tests/test_physics.py
+    # fixtures, 60 s compile -> 12 s reload). DUCK_NO_CPU_CACHE=1 opts out
+    # if a host ever genuinely mismatches.
     # default_backend() itself initializes the backend and can raise when
     # the TPU tunnel is held by another process (round-1 BENCH crash) —
     # never let cache setup take the process down.
     try:
-        if jax.default_backend() == "cpu":
-            return
+        backend = jax.default_backend()
     except Exception:
+        return
+    if backend == "cpu" and os.environ.get("DUCK_NO_CPU_CACHE") == "1":
         return
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -1,5 +1,7 @@
 """Physics-engine validation: analytic oracles + duck-scene behavior."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -373,6 +375,12 @@ def test_determinism(flat_model):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.skipif(
+    os.environ.get("RUN_SLOW", "0") != "1",
+    reason="largest XLA-pipeline compile in the suite (~10 min cold on 1 CPU "
+           "core); hfield coverage stays default via test_lane_hfield_model "
+           "and the rough-scene compiler parity tests; set RUN_SLOW=1",
+)
 def test_rough_terrain_hfield_stands():
     """Backlash robot stands on the heightfield scene (hfield collider path)."""
     from tests.conftest import ROUGH_SCENE
