@@ -20,6 +20,8 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 PORT = int(os.environ.get("_MH_PORT", "56789"))
 
 

@@ -32,7 +32,10 @@ import argparse
 import contextlib
 import io
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
