@@ -1,146 +1,190 @@
-"""Domain randomization (behavioral parity with reference common/randomize.py).
+"""Domain randomization as a declarative perturbation recipe.
 
-Returns a batched Model plus a vmap in_axes pytree, consumed by the
-training wrapper (reference wrap_for_brax_training + randomization_fn).
+Behavioral parity target: reference ``common/randomize.py`` (the 8
+randomized model fields, their exact distributions, and the RNG split
+order — one ``jax.random.split`` per recipe entry, in sequence — are the
+contract consumed by the training wrapper's randomization vmap).
+
+Architecture (this framework's idiom, not the reference's): the
+randomization is a *table*, ``_RECIPE`` — ordered ``(description,
+sampler)`` entries where each sampler maps ``(key, model, ctx) -> {field:
+new_array}``. A single generic fold threads the per-env key through the
+table and a single ``jax.vmap`` batches it; adding a new randomized
+quantity means appending one table row, nothing else. The table order IS
+the RNG stream, so reordering entries changes sampled physics — tests in
+``tests/test_randomize.py`` pin the current stream.
 
 Reference quirks preserved deliberately (see SURVEY.md quirks):
-- FLOOR_GEOM_ID is hardcoded to 0, which in the compiled duck scenes is a
-  *visual* robot mesh (the real floor geom is last) -- so the "floor
+- ``FLOOR_GEOM_ID`` is hardcoded to 0, which in the compiled duck scenes
+  is a *visual* robot mesh (the real floor geom is last) — so the "floor
   friction" randomization is a no-op exactly as upstream;
-- TORSO_BODY_ID=1 is the massless "base" body, so the *U(0.9,1.1) mass
-  scaling has no effect there and only the +-0.1 kg additive term matters.
-Set `use_names=True` for the fixed, name-based behavior.
+- ``TORSO_BODY_ID=1`` is the massless "base" body, so the *U(0.9,1.1)
+  mass scaling has no effect there and only the ±0.1 kg additive term
+  matters.
+Pass ``use_names=True`` for the fixed, name-based targeting.
 """
 
 from __future__ import annotations
 
+from typing import Callable, Dict, NamedTuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from open_duck_playground_tpu.ops.types import Model
 
 FLOOR_GEOM_ID = 0
 TORSO_BODY_ID = 1
 
+# Every field any recipe entry may touch; also the in_axes=0 set handed
+# to the training wrapper's model-vmap.
+RANDOMIZED_FIELDS = (
+    "geom_friction",
+    "body_ipos",
+    "dof_frictionloss",
+    "dof_armature",
+    "body_mass",
+    "qpos0",
+    "actuator_gainprm",
+    "actuator_biasprm",
+)
+
+
+class _Ctx(NamedTuple):
+    """Static (trace-constant) addressing resolved once, pre-vmap."""
+
+    floor_geom: int
+    torso_body: int
+    dof_addr: jax.Array    # leading dof address per actuated joint
+    qpos_addr: jax.Array   # qpos address per actuated joint
+
+
+def _make_ctx(model: Model, use_names: bool) -> _Ctx:
+    if use_names:
+        floor = model.geom("floor")
+        torso = model.body("trunk_assembly")
+    else:
+        floor, torso = FLOOR_GEOM_ID, TORSO_BODY_ID
+    # Actuated joints are discovered via frictionloss, exactly like the
+    # reference (backlash dofs and the free joint carry frictionloss 0).
+    first_dof = np.asarray(model.jnt_dofadr)
+    has_fl = np.asarray(model.dof_hasfrictionloss, dtype=bool)[first_dof]
+    return _Ctx(
+        floor_geom=int(floor),
+        torso_body=int(torso),
+        dof_addr=jnp.asarray(first_dof[has_fl], jnp.int32),
+        qpos_addr=jnp.asarray(np.asarray(model.jnt_qposadr)[has_fl], jnp.int32),
+    )
+
+
+Sampler = Callable[[jax.Array, Model, _Ctx], Dict[str, jax.Array]]
+
+
+def _floor_friction(key, m, ctx):
+    draw = jax.random.uniform(key, minval=0.5, maxval=1.0)
+    return {"geom_friction": m.geom_friction.at[ctx.floor_geom, 0].set(draw)}
+
+
+def _joint_frictionloss(key, m, ctx):
+    scale = jax.random.uniform(key, (ctx.dof_addr.size,), minval=0.9, maxval=1.1)
+    return {
+        "dof_frictionloss": m.dof_frictionloss.at[ctx.dof_addr].set(
+            m.dof_frictionloss[ctx.dof_addr] * scale
+        )
+    }
+
+
+def _joint_armature(key, m, ctx):
+    scale = jax.random.uniform(key, (ctx.dof_addr.size,), minval=1.0, maxval=1.05)
+    return {
+        "dof_armature": m.dof_armature.at[ctx.dof_addr].set(
+            m.dof_armature[ctx.dof_addr] * scale
+        )
+    }
+
+
+def _torso_com_jitter(key, m, ctx):
+    offset = jax.random.uniform(key, (3,), minval=-0.05, maxval=0.05)
+    return {
+        "body_ipos": m.body_ipos.at[ctx.torso_body].set(
+            m.body_ipos[ctx.torso_body] + offset
+        )
+    }
+
+
+def _link_mass_scale(key, m, ctx):
+    scale = jax.random.uniform(key, (m.nbody,), minval=0.9, maxval=1.1)
+    return {"body_mass": m.body_mass * scale}
+
+
+def _torso_mass_offset(key, m, ctx):
+    # Reads the already-scaled masses: recipe entries compose in order.
+    delta = jax.random.uniform(key, minval=-0.1, maxval=0.1)
+    return {
+        "body_mass": m.body_mass.at[ctx.torso_body].set(
+            m.body_mass[ctx.torso_body] + delta
+        )
+    }
+
+
+def _home_pose_jitter(key, m, ctx):
+    jitter = jax.random.uniform(key, (ctx.qpos_addr.size,), minval=-0.03, maxval=0.03)
+    return {
+        "qpos0": m.qpos0.at[ctx.qpos_addr].set(m.qpos0[ctx.qpos_addr] + jitter)
+    }
+
+
+def _servo_kp_scale(key, m, ctx):
+    # One draw drives gain AND bias so the position servo stays consistent.
+    scale = jax.random.uniform(key, (m.nu,), minval=0.9, maxval=1.1)
+    kp = m.actuator_gainprm[:, 0] * scale
+    return {
+        "actuator_gainprm": m.actuator_gainprm.at[:, 0].set(kp),
+        "actuator_biasprm": m.actuator_biasprm.at[:, 1].set(-kp),
+    }
+
+
+# The randomization, as data. Order = the reference's RNG split order
+# (common/randomize.py:42-95); do not reorder without updating the
+# stream-pinning tests.
+_RECIPE: tuple[tuple[str, Sampler], ...] = (
+    ("floor friction U(0.5,1.0)", _floor_friction),
+    ("joint frictionloss xU(0.9,1.1)", _joint_frictionloss),
+    ("joint armature xU(1.0,1.05)", _joint_armature),
+    ("torso CoM jitter +-5cm", _torso_com_jitter),
+    ("link masses xU(0.9,1.1)", _link_mass_scale),
+    ("torso mass +U(-0.1,0.1)kg", _torso_mass_offset),
+    ("home pose jitter +-0.03rad", _home_pose_jitter),
+    ("servo kp xU(0.9,1.1)", _servo_kp_scale),
+)
+
 
 def domain_randomize(model: Model, rng: jax.Array, use_names: bool = False):
-    if use_names:
-        floor_geom_id = model.geom("floor")
-        torso_body_id = model.body("trunk_assembly")
-    else:
-        floor_geom_id = FLOOR_GEOM_ID
-        torso_body_id = TORSO_BODY_ID
+    """Sample one physics variant per env.
 
-    # actuated dofs are the ones with frictionloss (backlash dofs have 0)
-    dof_id = [i for i, fr in enumerate(model.dof_hasfrictionloss) if bool(fr)]
-    jnt_id = [int(model.dof_jntid[i]) for i in dof_id]
-    dof_addr = jnp.asarray(
-        [int(a) for a in model.jnt_dofadr if int(a) in dof_id], jnp.int32
-    )
-    joint_addr = jnp.asarray(
-        [int(model.jnt_qposadr[j]) for j in jnt_id], jnp.int32
-    )
+    Args:
+      model: the compiled scene model.
+      rng: ``(num_envs, 2)`` PRNG keys, one per env.
+      use_names: target the real floor/trunk instead of the reference's
+        hardcoded (and off-target) ids.
 
-    @jax.vmap
-    def rand_dynamics(rng):
-        # floor friction U(0.5, 1.0)
-        rng, key = jax.random.split(rng)
-        geom_friction = model.geom_friction.at[floor_geom_id, 0].set(
-            jax.random.uniform(key, minval=0.5, maxval=1.0)
-        )
+    Returns:
+      ``(batched_model, in_axes)`` — the model with every field in
+      ``RANDOMIZED_FIELDS`` gaining a leading env axis, plus the matching
+      vmap in_axes pytree (the ``wrap_for_brax_training`` contract).
+    """
+    ctx = _make_ctx(model, use_names)
 
-        # static friction scale *U(0.9, 1.1)
-        rng, key = jax.random.split(rng)
-        frictionloss = model.dof_frictionloss[dof_addr] * jax.random.uniform(
-            key, shape=(model.nu,), minval=0.9, maxval=1.1
-        )
-        dof_frictionloss = model.dof_frictionloss.at[dof_addr].set(frictionloss)
+    def sample_env(key: jax.Array) -> Dict[str, jax.Array]:
+        view = model
+        for _, sampler in _RECIPE:
+            key, sub = jax.random.split(key)
+            view = view.tree_replace(sampler(sub, view, ctx))
+        return {f: getattr(view, f) for f in RANDOMIZED_FIELDS}
 
-        # armature scale *U(1.0, 1.05)
-        rng, key = jax.random.split(rng)
-        armature = model.dof_armature[dof_addr] * jax.random.uniform(
-            key, shape=(model.nu,), minval=1.0, maxval=1.05
-        )
-        dof_armature = model.dof_armature.at[dof_addr].set(armature)
+    updates = jax.vmap(sample_env)(rng)
 
-        # torso com jitter +-5 cm
-        rng, key = jax.random.split(rng)
-        dpos = jax.random.uniform(key, (3,), minval=-0.05, maxval=0.05)
-        body_ipos = model.body_ipos.at[torso_body_id].set(
-            model.body_ipos[torso_body_id] + dpos
-        )
-
-        # all link masses *U(0.9, 1.1)
-        rng, key = jax.random.split(rng)
-        dmass = jax.random.uniform(key, shape=(model.nbody,), minval=0.9, maxval=1.1)
-        body_mass = model.body_mass.at[:].set(model.body_mass * dmass)
-
-        # torso mass +U(-0.1, 0.1) kg
-        rng, key = jax.random.split(rng)
-        dm = jax.random.uniform(key, minval=-0.1, maxval=0.1)
-        body_mass = body_mass.at[torso_body_id].set(body_mass[torso_body_id] + dm)
-
-        # home-pose jitter +-0.03 rad on qpos0
-        rng, key = jax.random.split(rng)
-        qpos0 = model.qpos0.at[joint_addr].set(
-            model.qpos0[joint_addr]
-            + jax.random.uniform(key, shape=(model.nu,), minval=-0.03, maxval=0.03)
-        )
-
-        # servo kp scale *U(0.9, 1.1) (gain and bias stay consistent)
-        rng, key = jax.random.split(rng)
-        factor = jax.random.uniform(key, shape=(model.nu,), minval=0.9, maxval=1.1)
-        kp = model.actuator_gainprm[:, 0]
-        actuator_gainprm = model.actuator_gainprm.at[:, 0].set(kp * factor)
-        actuator_biasprm = model.actuator_biasprm.at[:, 1].set(-kp * factor)
-
-        return (
-            geom_friction,
-            body_ipos,
-            dof_frictionloss,
-            dof_armature,
-            body_mass,
-            qpos0,
-            actuator_gainprm,
-            actuator_biasprm,
-        )
-
-    (
-        friction,
-        body_ipos,
-        frictionloss,
-        armature,
-        body_mass,
-        qpos0,
-        actuator_gainprm,
-        actuator_biasprm,
-    ) = rand_dynamics(rng)
-
-    in_axes = jax.tree_util.tree_map(lambda x: None, model)
-    in_axes = in_axes.tree_replace(
-        {
-            "geom_friction": 0,
-            "body_ipos": 0,
-            "dof_frictionloss": 0,
-            "dof_armature": 0,
-            "body_mass": 0,
-            "qpos0": 0,
-            "actuator_gainprm": 0,
-            "actuator_biasprm": 0,
-        }
-    )
-
-    model = model.tree_replace(
-        {
-            "geom_friction": friction,
-            "body_ipos": body_ipos,
-            "dof_frictionloss": frictionloss,
-            "dof_armature": armature,
-            "body_mass": body_mass,
-            "qpos0": qpos0,
-            "actuator_gainprm": actuator_gainprm,
-            "actuator_biasprm": actuator_biasprm,
-        }
-    )
-
-    return model, in_axes
+    in_axes = jax.tree_util.tree_map(lambda _: None, model)
+    in_axes = in_axes.tree_replace({f: 0 for f in RANDOMIZED_FIELDS})
+    return model.tree_replace(updates), in_axes
