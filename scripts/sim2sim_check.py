@@ -9,13 +9,20 @@ velocity command and enforces
     the reference's own recipe is validated by the robot walking,
     README.md:94-98 — 70% command tracking in clean sim is the proxy)
 
-Standing (--standing): rolls under a head-pose command and enforces
-  - upright the whole run (up_z >= 0.9 throughout)
-  - base translation <= --max_drift_m (default 0.15 m) — the task is to
-    stand still; head-joint angles vs command are reported informationally
-    (the reference's head_pos cost is gated on locomotion, standing.py
-    samples zero locomotion commands, so head tracking carries no reward
-    pressure — a quirk preserved for parity).
+Standing (--standing): two phases, both must pass —
+  - plain: upright the whole run (up_z >= 0.9), base translation
+    <= --max_drift_m (default 0.15 m). Head-joint angles vs command are
+    reported informationally (the reference's head_pos cost is gated on
+    locomotion, standing.py samples zero locomotion commands, so head
+    tracking carries no reward pressure — a quirk preserved for parity).
+  - pushed: base-velocity kicks at the reference's MAX training push
+    magnitude (1.0 m/s, joystick/standing push_config), every
+    --push_every_s seconds with a deterministic direction sequence; the
+    policy must never fall and keep up_z >= --pushed_min_up_z (0.5).
+    This phase is the gate's discriminative criterion (VERDICT r2 #2):
+    the untrained step-0 export FAILS it (falls within ~0.6 s of the
+    first kick across seeds — measured 2026-08-18) while upright+drift
+    alone is satisfied by near-zero actions from the home keyframe.
 
 Prints one JSON line per engine plus a final PASS/FAIL, exit code 0/1.
 
@@ -54,17 +61,38 @@ def make_engine(kind: str, model_path: str, reference_data: str,
     return SimInfer(model_path, reference_data, onnx_path, standing)
 
 
+def apply_push(inf, vx: float, vy: float) -> None:
+    """Overwrite base planar velocity, exactly like the training push
+    (reference joystick.py:381-399 writes qvel[x,y]); works on both the
+    MuJoCo MjData and our immutable Data pytree."""
+    if hasattr(inf, "_mujoco"):
+        inf.data.qvel[0] = vx
+        inf.data.qvel[1] = vy
+    else:
+        import jax.numpy as jnp
+
+        qvel = jnp.asarray(inf.data.qvel).at[0].set(vx).at[1].set(vy)
+        inf.data = inf.data.replace(qvel=qvel)
+
+
 def run_engine(kind: str, model_path: str, reference_data: str,
-               onnx_path: str, command, seconds: float, standing: bool):
+               onnx_path: str, command, seconds: float, standing: bool,
+               push_mag: float = 0.0, push_every_s: float = 3.0):
     inf = make_engine(kind, model_path, reference_data, onnx_path, standing)
     inf.commands = list(command)
 
     start = np.asarray(inf.data.qpos[:2], float).copy()
     min_up = 1.0
     n_ticks = int(seconds * 50)
+    push_every = max(1, int(push_every_s * 50))
+    push_rng = np.random.default_rng(0)  # deterministic direction sequence
     head_tail = []  # head-joint angles over the last 2 s
     with contextlib.redirect_stdout(io.StringIO()):
         for tick in range(n_ticks):
+            if push_mag > 0.0 and tick > 0 and tick % push_every == 0:
+                theta = push_rng.uniform(0.0, 2.0 * np.pi)
+                apply_push(inf, push_mag * np.cos(theta),
+                           push_mag * np.sin(theta))
             targets = inf.control_step()
             inf.step_control(targets)
             min_up = min(min_up, float(inf.get_gravity(inf.data)[2]))
@@ -81,6 +109,7 @@ def run_engine(kind: str, model_path: str, reference_data: str,
     out = {
         "engine": kind,
         "task": "standing" if standing else "joystick",
+        "phase": f"pushed_{push_mag}m/s" if push_mag > 0.0 else "plain",
         "seconds": seconds,
         "walked_m": round(dist, 3),
         "forward_m": round(fwd, 3),
@@ -112,7 +141,13 @@ def main():
                    help="neck_pitch head_pitch head_yaw head_roll (--standing)")
     p.add_argument("--max_drift_m", type=float, default=0.15)
     p.add_argument("--min_up_z", type=float, default=0.9,
-                   help="uprightness floor for --standing")
+                   help="uprightness floor for --standing (plain phase)")
+    p.add_argument("--push_mag", type=float, default=1.0,
+                   help="pushed-phase kick magnitude, m/s (reference max "
+                        "training push; 0 disables the pushed phase)")
+    p.add_argument("--push_every_s", type=float, default=3.0)
+    p.add_argument("--pushed_min_up_z", type=float, default=0.5,
+                   help="uprightness floor during the pushed phase")
     p.add_argument("--skip_own", action="store_true",
                    help="only the MuJoCo engine (own engine needs a jax compile)")
     args = p.parse_args()
@@ -128,6 +163,7 @@ def main():
         command = [args.vx, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
 
     results = []
+    pushed = []
     engines = ["mujoco"] if args.skip_own else ["mujoco", "own"]
     for kind in engines:
         r = run_engine(kind, model_path, reference_data,
@@ -135,15 +171,30 @@ def main():
                        args.standing)
         results.append(r)
         print(json.dumps(r), flush=True)
+        if args.standing and args.push_mag > 0.0:
+            r = run_engine(kind, model_path, reference_data,
+                           args.onnx_model_path, command, args.seconds,
+                           args.standing, push_mag=args.push_mag,
+                           push_every_s=args.push_every_s)
+            pushed.append(r)
+            print(json.dumps(r), flush=True)
 
     if args.standing:
-        ok = all(
+        ok_plain = all(
             (not r["fell"]) and r["min_up_z"] >= args.min_up_z
             and r["walked_m"] <= args.max_drift_m
             for r in results
         )
-        bar = {"pass": ok, "min_up_z": args.min_up_z,
-               "max_drift_m": args.max_drift_m}
+        ok_pushed = all(
+            (not r["fell"]) and r["min_up_z"] >= args.pushed_min_up_z
+            for r in pushed
+        )
+        ok = ok_plain and ok_pushed
+        bar = {"pass": ok, "plain_pass": ok_plain,
+               "pushed_pass": ok_pushed if pushed else None,
+               "min_up_z": args.min_up_z, "max_drift_m": args.max_drift_m,
+               "push_mag": args.push_mag,
+               "pushed_min_up_z": args.pushed_min_up_z}
     else:
         ok = all(
             (not r["fell"]) and r["track_frac"] is not None
