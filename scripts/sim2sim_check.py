@@ -77,9 +77,11 @@ def apply_push(inf, vx: float, vy: float) -> None:
 
 def run_engine(kind: str, model_path: str, reference_data: str,
                onnx_path: str, command, seconds: float, standing: bool,
-               push_mag: float = 0.0, push_every_s: float = 3.0):
+               push_mag: float = 0.0, push_every_s: float = 3.0,
+               phase_freq: float = 1.0):
     inf = make_engine(kind, model_path, reference_data, onnx_path, standing)
     inf.commands = list(command)
+    inf.phase_frequency_factor = phase_freq
 
     start = np.asarray(inf.data.qpos[:2], float).copy()
     min_up = 1.0
@@ -148,6 +150,16 @@ def main():
     p.add_argument("--push_every_s", type=float, default=3.0)
     p.add_argument("--pushed_min_up_z", type=float, default=0.5,
                    help="uprightness floor during the pushed phase")
+    # Gait-clock scaling, the reference's own p/m teleop control
+    # (mujoco_infer.py:105-154). Diagnosis 2026-08-18 (RESULTS.md): the
+    # policy's speed saturates at ~0.094 m/s for ANY command >= 0.1
+    # because the imitation reward pins the stride to the reference gait
+    # clock (27 steps/period @ 50 Hz); under full physics the executed
+    # stride covers less ground than the kinematic gait. --phase_freq
+    # 1.25 lifts track_frac 0.76 -> 0.93 with the same ONNX. Deploy-gain
+    # kp 22 (README.md:98) makes tracking WORSE in sim (0.51).
+    p.add_argument("--phase_freq", type=float, default=1.0,
+                   help="gait clock scale (reference p/m keys)")
     p.add_argument("--skip_own", action="store_true",
                    help="only the MuJoCo engine (own engine needs a jax compile)")
     args = p.parse_args()
@@ -168,7 +180,7 @@ def main():
     for kind in engines:
         r = run_engine(kind, model_path, reference_data,
                        args.onnx_model_path, command, args.seconds,
-                       args.standing)
+                       args.standing, phase_freq=args.phase_freq)
         results.append(r)
         print(json.dumps(r), flush=True)
         if args.standing and args.push_mag > 0.0:
