@@ -360,11 +360,34 @@ def flatten_dr_fields(m_batched: Model) -> Dict[str, jax.Array]:
     return out
 
 
+def _block_quantum() -> int:
+    """Env-batch granularity of the fused path: whole BLOCKs per device."""
+    return BLOCK * _mesh_size()
+
+
+def _pad_env_axis(tree, axis_size: int, target: int):
+    """Pad every leaf's leading env axis from axis_size to target by
+    repeating the last env (a valid physics state — zero-padding would
+    inject degenerate quaternions into the kernel)."""
+    if target == axis_size:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (target - axis_size,) + x.shape[1:])],
+            axis=0,
+        ),
+        tree,
+    )
+
+
 def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
     """Drop-in for `lambda m, d, ctrl: fwd.step_n(m, d, ctrl, n)`:
 
-    unbatched -> XLA pipeline; vmapped -> fused pallas kernel (when the
-    batch divides the 1024-env block and the model has no heightfield).
+    unbatched -> XLA pipeline; vmapped -> fused pallas kernel. Batches
+    that don't divide the BLOCK x n_devices quantum are padded with copies
+    of the last env and sliced back after the kernel (VERDICT r2 #10 —
+    e.g. the brax-default 128 eval envs no longer silently fall back to
+    the ~45-min-compile XLA pipeline).
 
     `concrete_model` is the env's un-traced Model: the lane pipeline bakes
     every structural field in as python constants at kernel-build time, so
@@ -402,9 +425,6 @@ def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
             and batched_fields in (set(), set(DR_FIELDS))
             and not _has_tracers(m_plain)
             and supports_model(m_plain)
-            # under a registered env mesh each device's local shard must
-            # divide into whole 1024-env blocks
-            and axis_size % (BLOCK * _mesh_size()) == 0
             and jax.tree_util.tree_all(
                 jax.tree_util.tree_map(lambda x: bool(x), d_b)
             )
@@ -422,7 +442,14 @@ def make_fused_step_n(n_substeps: int, concrete_model: Optional[Model] = None):
             return out, jax.tree_util.tree_map(lambda _: True, out)
 
         dr_flat = flatten_dr_fields(m) if batched_fields else None
-        out = fused_step_n_batched(m_plain, d, ctrl, n_substeps, dr_flat)
+        quantum = _block_quantum()
+        target = -(-axis_size // quantum) * quantum
+        d_in = _pad_env_axis(d, axis_size, target)
+        ctrl_in = _pad_env_axis(ctrl, axis_size, target)
+        dr_in = _pad_env_axis(dr_flat, axis_size, target)
+        out = fused_step_n_batched(m_plain, d_in, ctrl_in, n_substeps, dr_in)
+        if target != axis_size:
+            out = jax.tree_util.tree_map(lambda x: x[:axis_size], out)
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return step_n
@@ -465,7 +492,6 @@ def make_fused_init(concrete_model: Optional[Model] = None):
             and batched_fields in (set(), set(DR_FIELDS))
             and not _has_tracers(m_plain)
             and supports_model(m_plain)
-            and axis_size % (BLOCK * _mesh_size()) == 0
             and bool(qpos_b) and bool(qvel_b) and bool(ctrl_b)
         )
         if not ok:
@@ -478,15 +504,24 @@ def make_fused_init(concrete_model: Optional[Model] = None):
             return out, jax.tree_util.tree_map(lambda _: True, out)
 
         dr_flat = flatten_dr_fields(m) if batched_fields else None
+        quantum = _block_quantum()
+        target = -(-axis_size // quantum) * quantum
+        qpos_in = _pad_env_axis(qpos, axis_size, target)
+        qvel_in = _pad_env_axis(qvel, axis_size, target)
+        ctrl_in = _pad_env_axis(ctrl, axis_size, target)
+        dr_in = _pad_env_axis(dr_flat, axis_size, target)
         d0 = fwd.make_data(m_plain, qpos.dtype)
         d = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (axis_size,) + jnp.shape(x)), d0
+            lambda x: jnp.broadcast_to(x, (target,) + jnp.shape(x)), d0
         )
-        d = d.replace(qpos=qpos, qvel=qvel, ctrl=ctrl)
-        out = fused_step_n_batched(m_plain, d, ctrl, 1, dr_flat)
+        d = d.replace(qpos=qpos_in, qvel=qvel_in, ctrl=ctrl_in)
+        out = fused_step_n_batched(m_plain, d, ctrl_in, 1, dr_in)
+        if target != axis_size:
+            out = jax.tree_util.tree_map(lambda x: x[:axis_size], out)
         # forward() semantics: derived fields of the INPUT state; undo the
         # kernel's semi-implicit Euler integration and time advance
-        out = out.replace(qpos=qpos, qvel=qvel, time=d.time)
+        out = out.replace(qpos=qpos, qvel=qvel,
+                          time=jnp.broadcast_to(d0.time, (axis_size,)))
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return init_fn

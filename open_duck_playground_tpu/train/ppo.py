@@ -107,6 +107,7 @@ def train(
     restore_checkpoint_path: Optional[str] = None,
     mesh: Optional[Mesh] = None,
     num_timesteps_override_warning: bool = False,
+    host_loop: Optional[bool] = None,
 ):
     """Train PPO; returns (make_policy, (normalizer, params), metrics).
 
@@ -302,17 +303,45 @@ def train(
         metrics = jax.tree_util.tree_map(jnp.mean, aux)
         return (training_state, env_state, key), metrics
 
+    # Epoch granularity: on TPU one jit of the whole epoch (scan over
+    # training steps — zero host round-trips between rollout/SGD). On CPU
+    # XLA's LLVM codegen of that giant program runs >110 min on this
+    # image's single core AND the program embeds the scan trip count, so
+    # every (num_timesteps, num_evals) combination recompiles from
+    # scratch (VERDICT r2 #7). host_loop jits ONE training step and loops
+    # on the host: the compiled unit is recipe-length-independent (the
+    # persistent cache reuses it across recipes) and the per-epoch host
+    # dispatch is ~num_training_steps syncs of a 20x-num_envs-step
+    # program — noise on CPU throughput.
+    if host_loop is None:
+        host_loop = jax.default_backend() == "cpu"
+
     # NOTE: env_state cannot be donated: info["first_data"]/"first_obs"
     # alias state.data/state.obs buffers right after reset (XLA output
     # aliasing), and donating aliased buffers is an error.
-    @jax.jit
-    def training_epoch(training_state, env_state, key):
-        (training_state, env_state, key), metrics = jax.lax.scan(
-            training_step, (training_state, env_state, key), None,
-            length=num_training_steps_per_epoch,
-        )
-        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        return training_state, env_state, key, metrics
+    if host_loop:
+        training_step_jit = jax.jit(training_step)
+
+        def training_epoch(training_state, env_state, key):
+            step_metrics = []
+            for _ in range(num_training_steps_per_epoch):
+                (training_state, env_state, key), m = training_step_jit(
+                    (training_state, env_state, key), None
+                )
+                step_metrics.append(m)
+            metrics = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs).mean(), *step_metrics
+            )
+            return training_state, env_state, key, metrics
+    else:
+        @jax.jit
+        def training_epoch(training_state, env_state, key):
+            (training_state, env_state, key), metrics = jax.lax.scan(
+                training_step, (training_state, env_state, key), None,
+                length=num_training_steps_per_epoch,
+            )
+            metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+            return training_state, env_state, key, metrics
 
     # ------------------------------------------------------------------
     # evaluator

@@ -117,6 +117,7 @@ class BaseRunner:
             policy_params_fn=self.policy_params_fn,
             restore_checkpoint_path=self.restore_checkpoint_path,
             seed=self.args.seed,
+            host_loop=getattr(self.args, "host_loop", None),
         )
         _, params, _ = train_fn(environment=self.env, eval_env=self.eval_env)
         return params
@@ -160,6 +161,13 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_domain_randomization", action="store_true")
     parser.add_argument("--skip_onnx_export", action="store_true")
+    # epoch granularity: jitted scan-over-steps (TPU default) vs host loop
+    # over one jitted training step (CPU default — the whole-epoch program's
+    # XLA:CPU codegen runs >110 min and recompiles per recipe length)
+    parser.add_argument("--host_loop", dest="host_loop", default=None,
+                        action="store_true")
+    parser.add_argument("--no_host_loop", dest="host_loop",
+                        action="store_false")
     # multi-host launch (one process per host; see parallel/mesh.py):
     #   python -m ...runner --coordinator_address h0:1234 \
     #       --num_processes 2 --process_id $RANK ...
@@ -169,7 +177,17 @@ def main() -> None:
     parser.add_argument("--coordinator_address", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    # backend override: the axon TPU plugin's sitecustomize forces
+    # JAX_PLATFORMS=axon, so CPU runs need the in-Python config update
+    # (the env var alone is ignored on this image)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="jax platform override, e.g. 'cpu'")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     # must run before anything initializes a jax backend
     from open_duck_playground_tpu.parallel.mesh import init_distributed

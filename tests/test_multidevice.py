@@ -123,13 +123,14 @@ def _tiny_fused_batch(flat_model, pallas_step, B):
 
 
 def test_fused_step_sharded_lowering_partitions_env_axis(flat_model):
-    """Default-suite guard on the shard_map dispatch (VERDICT r2 weak #5):
-    LOWER (don't compile) the fused step on a 2-device mesh and assert the
-    StableHLO partitions the env axis manually with no cross-device
-    collective. Catches a dispatch regression (falling back to the
-    replicated XLA vmap path loses the manual_computation marker) without
-    paying the >10-min interpret-mode XLA:CPU compile — lowering stops
-    before backend codegen.
+    """Default-suite guard on the shard_map dispatch (VERDICT r2 weak #5)
+    AND on off-block batch padding (VERDICT r2 #10): LOWER (don't compile)
+    the fused step for 24 envs on a 2-device mesh through the custom_vmap
+    dispatch and assert the StableHLO (a) pads the batch to the 32-env
+    quantum, (b) partitions the env axis manually with no cross-device
+    collective, (c) reaches the lane-layout kernel (no silent fallback to
+    the replicated XLA vmap path). Lowering stops before backend codegen,
+    so this skips the >10-min interpret-mode XLA:CPU compile.
     """
     import importlib
 
@@ -142,14 +143,15 @@ def test_fused_step_sharded_lowering_partitions_env_axis(flat_model):
 
     importlib.reload(pallas_step)
     try:
-        B = 16  # 2 devices x one 8-env block
+        B = 24  # off the 8-env BLOCK x 2-device quantum -> padded to 32
         m, d, ctrl = _tiny_fused_batch(flat_model, pallas_step, B)
+        step = pallas_step.make_fused_step_n(1, concrete_model=m)
         mesh = Mesh(np.array(jax.devices()[:2]), ("env",))
         mesh_mod.set_env_mesh(mesh)
         try:
             lowered = jax.jit(
-                lambda dd, cc: pallas_step.fused_step_n_batched(m, dd, cc, 1)
-            ).lower(d, ctrl)
+                jax.vmap(step, in_axes=(None, 0, 0))
+            ).lower(m, d, ctrl)
         finally:
             mesh_mod.set_env_mesh(None)
         txt = lowered.as_text()
@@ -157,9 +159,13 @@ def test_fused_step_sharded_lowering_partitions_env_axis(flat_model):
         # manual partitioning over the env axis is present...
         assert "sdy.manual_computation" in txt, "shard_map dispatch lost"
         assert 'manual_axes={"env"}' in txt
-        # ...the per-device body sees the LOCAL half of the batch
-        # (qpos (16, nq) -> (8, nq)) ...
-        assert f"tensor<8x{m.nq}xf32>" in txt, "env axis not split 16->8"
+        # ...the 24-env batch was padded to the 32-env quantum and each
+        # device's body sees its LOCAL 16-env half...
+        assert f"tensor<32x{m.nq}xf32>" in txt, "batch not padded 24->32"
+        assert f"tensor<16x{m.nq}xf32>" in txt, "env axis not split 32->16"
+        # ...the lane-layout kernel input (nq, nb=2, SUB=2, LANE=4) exists,
+        # i.e. the fused kernel was reached, not the XLA fallback...
+        assert f"tensor<{m.nq}x2x2x4xf32>" in txt, "fused kernel not reached"
         # ...and nothing gathers the env axis back across devices.
         for coll in ("all_gather", "all_reduce", "all_to_all",
                      "collective_permute", "collective_broadcast"):
