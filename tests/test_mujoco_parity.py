@@ -344,3 +344,80 @@ def test_settled_sensordata_matches_mujoco():
             ours[sl], theirs[sl], atol=tol,
             err_msg=f"sensor {s} ({mujoco.mj_id2name(mm, mujoco.mjtObj.mjOBJ_SENSOR, s)})")
         adr += dim
+
+
+# ---------------------------------------------------------------------------
+# 3. heightfield trace parity (VERDICT r2 #3a)
+# ---------------------------------------------------------------------------
+#
+# Collider difference, measured 2026-08-18 (mujoco 3.10): MuJoCo's
+# prism-mesh hfield collider is qualitatively ILL-POSED for this robot's
+# thin TPU foot meshes — from the home keyframe the real C engine's duck
+# falls over by t=0.5s even on a CONSTANT-ZERO hfield (surface identical
+# to the plane scene where it stands indefinitely), because the prism
+# collider emits contacts clustered on the rear/inner foot edges with
+# sideways and even DOWNWARD normals (e.g. n=[0.49,0.02,-0.87] on a flat
+# surface). Our collider (hull vertices vs the triangulated surface)
+# reproduces the plane-scene behavior on the same zeroed hfield. Golden
+# mj_step parity on hfield scenes is therefore not a meaningful target;
+# the tests below pin (a) equivalence of our hfield path against the
+# PLANE ground truth (where MuJoCo itself is reliable and agrees with us
+# to 1 mm), and (b) the measured divergence envelope vs mj_step, as the
+# documented bound (ours-vs-mj median qpos 0.085, chaos baseline 0.0089 —
+# scripts/measure_hfield_parity.py).
+
+
+def test_hfield_zeroed_matches_plane_ground_truth():
+    """Our hfield collider on a zeroed (flat) hfield must reproduce the
+    backlash PLANE scene's settled standing state — the regime where real
+    MuJoCo agrees with us to 1 mm (test_settled_rollout_tracks_mujoco).
+    Real MuJoCo itself FAILS this equivalence (falls by 0.5 s)."""
+    om_r = compile_mjcf(SCENES["rough_backlash"], timestep=0.002)
+    om_r = om_r.tree_replace(
+        {"hfield_data": jnp.zeros_like(om_r.hfield_data)})
+    om_f = compile_mjcf(SCENES["backlash"], timestep=0.002)
+
+    def settle(om):
+        kf = om.keyframe("home")
+        d = fwd.init(om, jnp.asarray(kf.qpos, jnp.float32),
+                     jnp.zeros(om.nv, jnp.float32),
+                     jnp.asarray(kf.ctrl, jnp.float32))
+        ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+        step10 = jax.jit(lambda d: fwd.step_n(om, d, ctrl, 10))
+        for _ in range(100):  # 2 s
+            d = step10(d)
+        return d
+
+    dr, df = settle(om_r), settle(om_f)
+    assert abs(float(dr.qpos[2]) - float(df.qpos[2])) < 2e-3
+    assert float(jnp.linalg.norm(dr.qvel)) < 5e-2
+    np.testing.assert_allclose(np.asarray(dr.qpos[7:], np.float64),
+                               np.asarray(df.qpos[7:], np.float64), atol=2e-2)
+
+
+def test_hfield_rough_stands_where_mujoco_falls():
+    """On the REAL rough terrain (bumps <= 1 cm) our duck settles standing
+    from the home keyframe; the real C engine's falls by t=0.5s (and also
+    falls on the zeroed hfield — see section docstring), so 'parity with
+    mj_step' is pinned as this documented behavioral divergence."""
+    om = compile_mjcf(SCENES["rough_backlash"], timestep=0.002)
+    kf = om.keyframe("home")
+    d = fwd.init(om, jnp.asarray(kf.qpos, jnp.float32),
+                 jnp.zeros(om.nv, jnp.float32),
+                 jnp.asarray(kf.ctrl, jnp.float32))
+    ctrl = jnp.asarray(kf.ctrl, jnp.float32)
+    step10 = jax.jit(lambda d: fwd.step_n(om, d, ctrl, 10))
+    for _ in range(100):  # 2 s
+        d = step10(d)
+    z = float(d.qpos[2])
+    assert 0.1 < z < 0.25, z
+    assert float(jnp.linalg.norm(d.qvel)) < 5e-2
+    # the C engine's trajectory from the same state (regression pin of the
+    # measured divergence: it falls; if MuJoCo ever fixes its prism
+    # collider this assert flags the change for re-calibration)
+    mm = load_mj(SCENES["rough_backlash"])
+    dd = _mj_home(mm)
+    for _ in range(1000):
+        mujoco.mj_step(mm, dd)
+    assert float(dd.qpos[2]) < 0.1, (
+        "real MuJoCo now stands on the hfield - recalibrate hfield parity")
