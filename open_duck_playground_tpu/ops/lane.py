@@ -280,36 +280,55 @@ def rotate_inertia(diag_inertia, ximat):
 def hf_bilinear_gather(H, iy, ix, mode="direct"):
     """The 4 cell-corner heights H[iy,ix], H[iy,ix+1], H[iy+1,ix], H[iy+1,ix+1].
 
-    H: (nrow, ncol) array; iy/ix: int32 tiles with iy <= nrow-2, ix <= ncol-2
-    (guaranteed by the caller's clip).
+    mode "direct": H is the (nrow, ncol) table, gathered with advanced
+    indexing — fine under XLA/CPU eager, unsupported by Mosaic.
 
-    mode "direct": advanced indexing — fine under XLA/CPU eager, unsupported
-    by Mosaic. mode "onehot": gather-as-matmul for the TPU kernel — a
-    (N, nrow) one-hot row selector hits the MXU against H, then masked
-    column sums; requires 2-D tiles (the kernel's (8, 128) layout).
+    mode "onehot": H is the TRANSPOSED table (ncol, nrow) — gather-as-matmul
+    for the TPU kernel. Mosaic cannot relayout a (SUB, LANE) index tile into
+    the (N, 1) selector column the naive formulation wants ("unsupported
+    shape cast"), so everything stays in native tile layout: per sublane row
+    r, a one-hot row mask (nrow, LANE) is built by comparing a broadcast
+    iota against iy[r:r+1, :]; the masks concatenate along lanes into
+    (nrow, SUB*LANE) and ONE standard-form matmul per row offset
+    HT @ M -> (ncol, SUB*LANE) lands the selected hfield rows on the MXU.
+    Column selection is then an elementwise mask + sublane-axis reduction.
+    1-D tiles (the eager lane twin) take the same path as a single row.
     """
     if mode == "direct":
         return H[iy, ix], H[iy, ix + 1], H[iy + 1, ix], H[iy + 1, ix + 1]
 
+    if iy.ndim == 1:  # eager twin: (B,) tiles, no Mosaic layout constraints
+        z = _hf_onehot_2d(H, iy[None, :], ix[None, :])
+        return tuple(zc[0] for zc in z)
+    return _hf_onehot_2d(H, iy, ix)
+
+
+def _hf_onehot_2d(HT, iy, ix):
     import jax
 
-    shape = iy.shape
-    n = 1
-    for s in shape:
-        n *= s
-    nrow, ncol = H.shape
-    iy2 = iy.reshape(n, 1)
-    ix2 = ix.reshape(n, 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, nrow), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, ncol), 1)
-    row0 = (rows == iy2).astype(H.dtype)
-    row1 = (rows == iy2 + 1).astype(H.dtype)
-    col0 = (cols == ix2).astype(H.dtype)
-    col1 = (cols == ix2 + 1).astype(H.dtype)
-    a0 = jnp.dot(row0, H, preferred_element_type=jnp.float32)  # (n, ncol)
-    a1 = jnp.dot(row1, H, preferred_element_type=jnp.float32)
-    z00 = jnp.sum(a0 * col0, axis=1).reshape(shape)
-    z10 = jnp.sum(a0 * col1, axis=1).reshape(shape)
-    z01 = jnp.sum(a1 * col0, axis=1).reshape(shape)
-    z11 = jnp.sum(a1 * col1, axis=1).reshape(shape)
-    return z00, z10, z01, z11
+    ncol, nrow = HT.shape
+    sub, lane_n = iy.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, lane_n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ncol, lane_n), 0)
+    m0p, m1p, c0p, c1p = [], [], [], []
+    for r in range(sub):
+        iy_r = iy[r : r + 1, :]  # (1, LANE): broadcasts against the iotas
+        ix_r = ix[r : r + 1, :]
+        m0p.append((rows == iy_r).astype(HT.dtype))
+        m1p.append((rows == iy_r + 1).astype(HT.dtype))
+        c0p.append((cols == ix_r).astype(HT.dtype))
+        c1p.append((cols == ix_r + 1).astype(HT.dtype))
+    M0 = jnp.concatenate(m0p, axis=1) if sub > 1 else m0p[0]
+    M1 = jnp.concatenate(m1p, axis=1) if sub > 1 else m1p[0]
+    B0 = jnp.dot(HT, M0, preferred_element_type=jnp.float32)  # (ncol, S*L)
+    B1 = jnp.dot(HT, M1, preferred_element_type=jnp.float32)
+    z00, z10, z01, z11 = [], [], [], []
+    for r in range(sub):
+        sl = slice(r * lane_n, (r + 1) * lane_n)
+        z00.append(jnp.sum(B0[:, sl] * c0p[r], axis=0, keepdims=True))
+        z10.append(jnp.sum(B0[:, sl] * c1p[r], axis=0, keepdims=True))
+        z01.append(jnp.sum(B1[:, sl] * c0p[r], axis=0, keepdims=True))
+        z11.append(jnp.sum(B1[:, sl] * c1p[r], axis=0, keepdims=True))
+    cat = (lambda xs: jnp.concatenate(xs, axis=0)) if sub > 1 else (
+        lambda xs: xs[0])
+    return cat(z00), cat(z10), cat(z01), cat(z11)

@@ -673,7 +673,11 @@ class LanePhysics:
         vertex's surface normal."""
         m, c = self.m, self.c
         if hf is None:
-            hf = jnp.asarray(c.hfield_data, jnp.float32)
+            # onehot mode consumes the TRANSPOSED table (see
+            # lane.hf_bilinear_gather); the kernel path passes it in already
+            # transposed, the eager twin builds it here
+            table = np.asarray(c.hfield_data, np.float32)
+            hf = jnp.asarray(table.T if gather == "onehot" else table)
         bpos, bquat = self._static_body_pose(int(m.geom_bodyid[g1]))
         hp = bpos + _np_quat_rot(bquat, c.geom_pos[g1])
         hq = _np_quat_mul(bquat, c.geom_quat[g1])

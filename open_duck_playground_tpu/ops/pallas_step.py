@@ -207,10 +207,12 @@ def _build_kernel(lane_key, n_substeps: int, with_dr: bool):
                 in_specs.append(spec(x.shape[1]))
         if has_hf:
             nrow, ncol = lane.c.hfield_data.shape
-            inputs.append(jnp.asarray(lane.c.hfield_data, jnp.float32))
+            # TRANSPOSED for the in-kernel gather's standard-form matmul
+            # (see lane.hf_bilinear_gather mode "onehot")
+            inputs.append(jnp.asarray(lane.c.hfield_data, jnp.float32).T)
             in_specs.append(
                 pl.BlockSpec(
-                    (nrow, ncol), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    (ncol, nrow), lambda i: (0, 0), memory_space=pltpu.VMEM
                 )
             )
 
