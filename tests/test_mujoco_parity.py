@@ -272,7 +272,19 @@ def test_settled_rollout_tracks_mujoco(scene):
                                dd.qpos[7:], atol=2e-2)
 
 
-def test_perturbed_trace_quantiles_flat():
+# Per-scene quantile bounds, ~2x the measured values (see module docstring
+# for the flat methodology; backlash measured 2026-08-18, 6 states x 30
+# ctrl steps, RESULTS/r3/backlash_perturbed_calib.log: ours-vs-mj median
+# qpos 0.0098 / p90 0.0295, median qvel 0.18 / p90 0.51; chaos baseline
+# median qpos 3.1e-6 — the backlash dofs do NOT degrade parity).
+_PERTURBED_BOUNDS = {
+    "flat": dict(med_q=5e-2, p90_q=0.15, med_v=0.3, p90_v=1.5),
+    "backlash": dict(med_q=2e-2, p90_q=0.09, med_v=0.36, p90_v=1.5),
+}
+
+
+@pytest.mark.parametrize("scene", ["flat", "backlash"])
+def test_perturbed_trace_quantiles(scene):
     """Transient rollouts from perturbed states: quantile agreement.
 
     Contact-impact steps are active-set chaotic (see module docstring), so
@@ -280,7 +292,7 @@ def test_perturbed_trace_quantiles_flat():
     single trajectory: tolerances are ~2x the measured medians, and far
     below any 'different physics' regime (a wrong contact model shifts the
     median by >10x)."""
-    path = SCENES["flat"]
+    path = SCENES[scene]
     om = compile_mjcf(path, timestep=0.002)
     mm = mujoco.MjModel.from_xml_path(path)
     kf = om.keyframe("home")
@@ -310,10 +322,11 @@ def test_perturbed_trace_quantiles_flat():
             errs_v.append(np.abs(np.asarray(d.qvel, np.float64) - dd.qvel).max())
     errs_q = np.asarray(errs_q)
     errs_v = np.asarray(errs_v)
-    assert np.median(errs_q) < 5e-2, np.median(errs_q)
-    assert np.percentile(errs_q, 90) < 0.15, np.percentile(errs_q, 90)
-    assert np.median(errs_v) < 0.3, np.median(errs_v)
-    assert np.percentile(errs_v, 90) < 1.5, np.percentile(errs_v, 90)
+    b = _PERTURBED_BOUNDS[scene]
+    assert np.median(errs_q) < b["med_q"], np.median(errs_q)
+    assert np.percentile(errs_q, 90) < b["p90_q"], np.percentile(errs_q, 90)
+    assert np.median(errs_v) < b["med_v"], np.median(errs_v)
+    assert np.percentile(errs_v, 90) < b["p90_v"], np.percentile(errs_v, 90)
 
 
 def test_settled_sensordata_matches_mujoco():
