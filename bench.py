@@ -97,7 +97,7 @@ def run_bench(args) -> dict:
     from open_duck_playground_tpu.envs.joystick import Joystick
     from open_duck_playground_tpu.envs.wrapper import TrainEnv
 
-    env = Joystick(task="flat_terrain")
+    env = Joystick(task=args.task)
     train_env = TrainEnv(
         env,
         num_envs=args.num_envs,
@@ -167,8 +167,11 @@ def run_bench(args) -> dict:
     env_steps_per_sec = args.steps * args.num_envs / dt
     per_chip = env_steps_per_sec / n_chips
 
+    metric = f"env_steps_per_sec_per_chip_joystick_dr_{args.num_envs}envs"
+    if args.task != "flat_terrain":
+        metric += f"_{args.task}"
     return {
-        "metric": "env_steps_per_sec_per_chip_joystick_dr_4096envs",
+        "metric": metric,
         "value": round(per_chip, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(per_chip / CPU_BASELINE_STEPS_PER_SEC, 3),
@@ -178,6 +181,8 @@ def run_bench(args) -> dict:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--num_envs", type=int, default=4096)
+    parser.add_argument("--task", type=str, default="flat_terrain",
+                        help="e.g. rough_terrain_backlash for the hfield bench")
     parser.add_argument("--steps", type=int, default=100, help="control steps to time")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--no_dr", action="store_true")
