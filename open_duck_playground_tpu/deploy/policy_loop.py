@@ -39,6 +39,15 @@ class PolicyLoopMixin:
         if not self.standing:
             self.PRM = PolyReferenceMotion(reference_data)
         self.policy = OnnxInfer(onnx_model_path, awd=True)
+        # command-conditioned gait-clock law, trained in and carried via
+        # ONNX metadata (envs/joystick.py phase_frequency_from_command);
+        # absent on reference-parity exports -> disabled (factor 1.0)
+        md = self.policy.metadata
+        self.phase_freq_vx_ref = float(md.get("phase_frequency_vx_ref", 0.0))
+        self.phase_freq_max = float(md.get("phase_frequency_max", 1.4))
+        if self.phase_freq_vx_ref > 0.0:
+            print(f"gait-clock command law from ONNX metadata: "
+                  f"clip(|vx|/{self.phase_freq_vx_ref}, 1, {self.phase_freq_max})")
 
         self.last_action = np.zeros(self.num_dofs)
         self.last_last_action = np.zeros(self.num_dofs)
@@ -79,8 +88,14 @@ class PolicyLoopMixin:
     def control_step(self) -> np.ndarray:
         """One 50 Hz control tick: obs -> policy -> clamped motor targets."""
         if not self.standing:
+            cmd_factor = 1.0
+            if self.phase_freq_vx_ref > 0.0:
+                cmd_factor = min(
+                    max(abs(self.commands[0]) / self.phase_freq_vx_ref, 1.0),
+                    self.phase_freq_max,
+                )
             self.imitation_i = (
-                self.imitation_i + 1.0 * self.phase_frequency_factor
+                self.imitation_i + 1.0 * self.phase_frequency_factor * cmd_factor
             ) % self.PRM.nb_steps_in_period
             phase = self.imitation_i / self.PRM.nb_steps_in_period * 2 * np.pi
             self.imitation_phase = np.array([np.cos(phase), np.sin(phase)])

@@ -35,6 +35,18 @@ USE_IMITATION_REWARD = True
 USE_MOTOR_SPEED_LIMITS = True
 
 
+def phase_frequency_from_command(cmd_vx, vx_ref: float, f_max: float):
+    """Command-conditioned gait-clock factor: clip(|vx| / vx_ref, 1, f_max).
+
+    vx_ref <= 0 disables the law (factor 1.0 — reference parity). Works on
+    jnp tracers (training) and numpy scalars (deploy twin); deploy reads the
+    same constants back from ONNX metadata so both sides run one law.
+    """
+    if vx_ref <= 0.0:
+        return jnp.float32(1.0)
+    return jnp.clip(jnp.abs(cmd_vx) / vx_ref, 1.0, f_max).astype(jnp.float32)
+
+
 def default_config() -> config_dict.ConfigDict:
     return config_dict.create(
         ctrl_dt=0.02,
@@ -80,6 +92,18 @@ def default_config() -> config_dict.ConfigDict:
             interval_range=[5.0, 10.0],
             magnitude_range=[0.1, 1.0],
         ),
+        # Gait-clock conditioning (round-4 recipe extension). Defaults
+        # preserve exact reference parity (integer clock, factor 1.0).
+        # The reference exposes the same control only at deploy time, as
+        # the teleop p/m keys (reference mujoco_infer.py:105-154); here it
+        # can be trained in so that deploy needs no hand-tuned knob:
+        #   - phase_frequency_range: per-episode factor ~ U(lo, hi)
+        #   - phase_frequency_vx_ref > 0 enables the command-conditioned
+        #     law factor = clip(|cmd_vx| / vx_ref, 1, phase_frequency_max),
+        #     mirrored at deploy via ONNX metadata (export/export.py).
+        phase_frequency_range=[1.0, 1.0],
+        phase_frequency_vx_ref=0.0,
+        phase_frequency_max=1.4,
         lin_vel_x=[-0.15, 0.15],
         lin_vel_y=[-0.2, 0.2],
         ang_vel_yaw=[-1.0, 1.0],
@@ -191,6 +215,17 @@ class Joystick(duck_base.OpenDuckMiniV2Env):
         rng, cmd_rng = jax.random.split(rng)
         cmd = self.sample_command(cmd_rng)
 
+        # per-episode gait-clock factor; the split is gated on a static
+        # config check so the default recipe's RNG stream is unchanged
+        fr = tuple(self._config.phase_frequency_range)
+        if fr != (1.0, 1.0):
+            rng, freq_rng = jax.random.split(rng)
+            imitation_freq = jax.random.uniform(
+                freq_rng, minval=fr[0], maxval=fr[1]
+            ).astype(jnp.float32)
+        else:
+            imitation_freq = jnp.float32(1.0)
+
         rng, push_rng = jax.random.split(rng)
         push_interval = jax.random.uniform(
             push_rng,
@@ -224,7 +259,12 @@ class Joystick(duck_base.OpenDuckMiniV2Env):
                 self._config.noise_config.action_max_delay * model.nu
             ),
             "imu_history": jnp.zeros(self._config.noise_config.imu_max_delay * 3),
-            "imitation_i": jnp.asarray(0, jnp.int32),
+            # float clock: advances by imitation_freq * command-law factor
+            # per ctrl step; at the default factor 1.0 the visited values
+            # (0.0, 1.0, ... mod period) are bit-identical to the reference's
+            # integer counter (small ints are exact in f32)
+            "imitation_i": jnp.asarray(0.0, jnp.float32),
+            "imitation_freq": imitation_freq,
             "current_reference_motion": current_reference_motion,
             "imitation_phase": jnp.zeros(2),
         }
@@ -251,7 +291,14 @@ class Joystick(duck_base.OpenDuckMiniV2Env):
         info = dict(state.info)
 
         if USE_IMITATION_REWARD:
-            imitation_i = (info["imitation_i"] + 1) % self.PRM.nb_steps_in_period
+            freq = info["imitation_freq"] * phase_frequency_from_command(
+                info["command"][0],
+                float(self._config.phase_frequency_vx_ref),
+                float(self._config.phase_frequency_max),
+            )
+            imitation_i = jnp.mod(
+                info["imitation_i"] + freq, self.PRM.nb_steps_in_period
+            )
             info["imitation_i"] = imitation_i
             phase = (imitation_i / self.PRM.nb_steps_in_period) * 2 * jnp.pi
             info["imitation_phase"] = jnp.array([jnp.cos(phase), jnp.sin(phase)])
@@ -259,7 +306,7 @@ class Joystick(duck_base.OpenDuckMiniV2Env):
                 info["command"][0], info["command"][1], info["command"][2], imitation_i
             )
         else:
-            info["imitation_i"] = 0
+            info["imitation_i"] = jnp.float32(0.0)
             info["current_reference_motion"] = jnp.zeros(0)
 
         info["rng"], push1_rng, push2_rng, action_delay_rng = jax.random.split(

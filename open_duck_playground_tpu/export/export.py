@@ -22,7 +22,7 @@ from open_duck_playground_tpu.export import onnx_model as om
 
 
 def export_onnx(params, act_size: int, ppo_params=None, obs_size: Optional[int] = None,
-                output_path: str = "ONNX.onnx") -> str:
+                output_path: str = "ONNX.onnx", metadata=None) -> str:
     """params = (normalizer_state, PPOParams) as returned by ppo.train."""
     normalizer, net_params = params
     mean = np.asarray(normalizer.mean["state"], np.float32)
@@ -72,7 +72,7 @@ def export_onnx(params, act_size: int, ppo_params=None, obs_size: Optional[int] 
         outputs=[om.value_info("continuous_actions", (1, act_size))],
         initializers=initializers,
     )
-    data = om.model(g, opset=11)
+    data = om.model(g, opset=11, metadata=metadata)
     # spec conformance gate on every export (independent wire-level checker)
     from open_duck_playground_tpu.export.onnx_checker import check_model
 

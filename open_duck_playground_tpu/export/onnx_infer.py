@@ -68,6 +68,9 @@ class OnnxInfer:
         self.onnx_model_path = onnx_model_path
         self.input_name = input_name
         self.awd = awd
+        # recipe constants carried in metadata_props (e.g. the gait-clock
+        # command law) — parsed with our own reader for both backends
+        self.metadata = load_model(onnx_model_path).metadata
         try:
             import onnxruntime  # noqa: PLC0415
 

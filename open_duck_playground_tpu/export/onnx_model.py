@@ -93,13 +93,18 @@ def graph(
     return msg
 
 
-def model(graph_msg: bytes, opset: int = 11, producer: str = "open_duck_playground_tpu") -> bytes:
+def model(graph_msg: bytes, opset: int = 11, producer: str = "open_duck_playground_tpu",
+          metadata: Optional[Dict[str, str]] = None) -> bytes:
     opset_msg = pb.enc_str(1, "") + pb.enc_varint(2, opset)
     msg = pb.enc_varint(1, 6)  # ir_version 6
     msg += pb.enc_str(2, producer)
     msg += pb.enc_str(3, "0.1")
     msg += pb.enc_msg(7, graph_msg)
     msg += pb.enc_msg(8, opset_msg)
+    # metadata_props (field 14, StringStringEntryProto key=1 value=2):
+    # carries recipe constants the deploy loop must mirror
+    for k, v in (metadata or {}).items():
+        msg += pb.enc_msg(14, pb.enc_str(1, k) + pb.enc_str(2, v))
     return msg
 
 
@@ -179,6 +184,11 @@ class ParsedModel:
     def __init__(self, data: bytes):
         fields = pb.fields_to_dict(data)
         graph_buf = fields[7][0]
+        self.metadata: Dict[str, str] = {}
+        for entry in fields.get(14, []):
+            e = pb.fields_to_dict(entry)
+            if 1 in e and 2 in e:
+                self.metadata[e[1][0].decode()] = e[2][0].decode()
         g = pb.fields_to_dict(graph_buf)
         self.nodes = [ParsedNode(b) for b in g.get(1, [])]
         self.initializers: Dict[str, np.ndarray] = {}

@@ -108,6 +108,10 @@ def train(
     mesh: Optional[Mesh] = None,
     num_timesteps_override_warning: bool = False,
     host_loop: Optional[bool] = None,
+    save_full_state_dir: Optional[str] = None,
+    auto_resume: bool = False,
+    keep_full_states: int = 2,
+    stop_after_epochs: Optional[int] = None,
 ):
     """Train PPO; returns (make_policy, (normalizer, params), metrics).
 
@@ -401,6 +405,49 @@ def train(
           f"{time.monotonic() - t0:.1f}s", flush=True)
     training_state = jax.device_put(training_state, sh_rep)
 
+    # curve-preserving resume: restore the complete train state (params,
+    # optimizer, env batch, host RNG keys) saved after an earlier epoch, so
+    # the remaining epochs replay the uninterrupted run bit-for-bit
+    start_epoch = 0
+    if auto_resume and save_full_state_dir is not None:
+        from open_duck_playground_tpu.train import checkpoint as ckpt
+
+        found = ckpt.latest_full(save_full_state_dir)
+        if found is not None:
+            resume_epoch, resume_path = found
+            target = {
+                "training_state": training_state,
+                "env_state": env_state,
+                "epoch_key": epoch_key,
+                "eval_key": eval_key,
+            }
+            restored = ckpt.load_full(resume_path, target)
+            training_state = jax.device_put(restored["training_state"], sh_rep)
+            env_state = jax.device_put(restored["env_state"], sh_env)
+            epoch_key = restored["epoch_key"]
+            eval_key = restored["eval_key"]
+            start_epoch = resume_epoch + 1
+            print(f"[ppo] resumed full train state from {resume_path} "
+                  f"(epoch {resume_epoch}, env_steps "
+                  f"{int(training_state.env_steps)})", flush=True)
+
+    def _save_full_state(epoch_i: int):
+        if save_full_state_dir is None:
+            return
+        from open_duck_playground_tpu.train import checkpoint as ckpt
+
+        state = {
+            "training_state": jax.device_get(training_state),
+            "env_state": jax.device_get(env_state),
+            "epoch_key": jax.device_get(epoch_key),
+            "eval_key": jax.device_get(eval_key),
+        }
+        try:
+            ckpt.save_full(save_full_state_dir, epoch_i, state,
+                           keep=keep_full_states)
+        except Exception as e:  # keep training alive if the save breaks
+            print(f"[ppo] full-state checkpoint failed: {e}", flush=True)
+
     metrics: Dict[str, float] = {}
 
     def _eval_and_report(step_count: int):
@@ -424,12 +471,13 @@ def train(
                 (training_state.normalizer, training_state.params),
             )
 
-    _eval_and_report(0)
+    if start_epoch == 0:
+        _eval_and_report(0)
 
     walltimes = []
     print(f"[ppo] entering training loop: {num_evals_after_init} epochs x "
           f"{num_training_steps_per_epoch} training steps", flush=True)
-    for epoch_i in range(num_evals_after_init):
+    for epoch_i in range(start_epoch, num_evals_after_init):
         t0 = time.monotonic()
         training_state, env_state, epoch_key, train_metrics = training_epoch(
             training_state, env_state, epoch_key
@@ -441,6 +489,15 @@ def train(
         metrics["training/sps"] = sps
         metrics["training/walltime"] = sum(walltimes)
         _eval_and_report(int(training_state.env_steps))
+        _save_full_state(epoch_i)
+        if stop_after_epochs is not None and (
+            epoch_i + 1 - start_epoch >= stop_after_epochs
+        ):
+            # crash-simulation hook for resume tests: exit mid-recipe with
+            # the full state of `epoch_i` on disk, like a kill would
+            print(f"[ppo] stop_after_epochs={stop_after_epochs}: stopping "
+                  f"after epoch {epoch_i}", flush=True)
+            break
 
     full_params = (training_state.normalizer, training_state.params)
     return make_policy, full_params, metrics

@@ -83,6 +83,7 @@ class BaseRunner:
                 export_onnx(
                     params, self.action_size, self.ppo_params, self.obs_size,
                     output_path=onnx_path,
+                    metadata=getattr(self, "deploy_metadata", None),
                 )
             except Exception as e:  # keep training alive if export breaks
                 print(f"ONNX export failed: {e}")
@@ -118,6 +119,12 @@ class BaseRunner:
             restore_checkpoint_path=self.restore_checkpoint_path,
             seed=self.args.seed,
             host_loop=getattr(self.args, "host_loop", None),
+            save_full_state_dir=(
+                str(self.output_dir) if self.is_host0
+                and not self.args.no_full_state_checkpoints else None
+            ),
+            auto_resume=self.args.auto_resume,
+            keep_full_states=self.args.keep_full_states,
         )
         _, params, _ = train_fn(environment=self.env, eval_env=self.eval_env)
         return params
@@ -134,8 +141,24 @@ class OpenDuckMiniV2Runner(BaseRunner):
             raise ValueError(f"Unknown env {args.env}")
         module, cls = available_envs[args.env]
         self.env_config = module.default_config()
-        self.env = cls(task=args.task)
-        self.eval_env = cls(task=args.task)
+        # gait-clock conditioning overrides (joystick only; see
+        # envs/joystick.py default_config for the law)
+        overrides = {}
+        self.deploy_metadata = None
+        if args.env == "joystick":
+            if args.phase_freq_range is not None:
+                overrides["phase_frequency_range"] = list(args.phase_freq_range)
+            if args.phase_freq_vx_ref > 0.0:
+                overrides["phase_frequency_vx_ref"] = args.phase_freq_vx_ref
+                overrides["phase_frequency_max"] = args.phase_freq_max
+                # carried in the exported ONNX so deploy applies the same
+                # law with no CLI knob (deploy/policy_loop.py)
+                self.deploy_metadata = {
+                    "phase_frequency_vx_ref": repr(args.phase_freq_vx_ref),
+                    "phase_frequency_max": repr(args.phase_freq_max),
+                }
+        self.env = cls(task=args.task, config_overrides=overrides or None)
+        self.eval_env = cls(task=args.task, config_overrides=overrides or None)
         self.randomizer = (
             None if args.no_domain_randomization else randomize.domain_randomize
         )
@@ -160,7 +183,21 @@ def main() -> None:
     parser.add_argument("--num_evals", type=int, default=15)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no_domain_randomization", action="store_true")
+    # gait-clock conditioning (round-4 recipe; defaults = reference parity)
+    parser.add_argument("--phase_freq_range", type=float, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="per-episode gait-clock factor ~ U(LO, HI)")
+    parser.add_argument("--phase_freq_vx_ref", type=float, default=0.0,
+                        help="enable factor=clip(|cmd_vx|/REF, 1, max); "
+                             "carried into ONNX metadata for deploy")
+    parser.add_argument("--phase_freq_max", type=float, default=1.4)
     parser.add_argument("--skip_onnx_export", action="store_true")
+    # curve-preserving resume: full train state (params + optimizer +
+    # env batch + RNG) is checkpointed per epoch under output_dir with
+    # rotation; --auto_resume continues a killed run bit-exactly
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--keep_full_states", type=int, default=2)
+    parser.add_argument("--no_full_state_checkpoints", action="store_true")
     # epoch granularity: jitted scan-over-steps (TPU default) vs host loop
     # over one jitted training step (CPU default — the whole-epoch program's
     # XLA:CPU codegen runs >110 min and recompiles per recipe length)

@@ -9,6 +9,9 @@ cd "$(dirname "$0")/.."
 mkdir -p RESULTS/r3
 
 if [ "${1:-}" = "--wait-for" ]; then
+  if [ "$#" -lt 2 ]; then
+    echo "[sweep] --wait-for requires a path argument" >&2; exit 2
+  fi
   t=0
   while [ ! -e "$2" ]; do
     sleep 30; t=$((t + 30))

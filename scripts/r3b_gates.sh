@@ -19,6 +19,9 @@ latest_onnx() { ls -t "checkpoints/$1"/*.onnx 2>/dev/null | head -1; }
 
 if wait_done joystick_rough_300m; then
   onnx=$(latest_onnx joystick_rough_300m)
+  if [ -z "$onnx" ]; then
+    echo "[gates] rough 300m: no ONNX found, skipping gate"
+  else
   cp "$onnx" RESULTS/r3/artifacts/joystick_rough_300m.onnx
   echo "[gates] rough 300m: $onnx"
   timeout 2400 python scripts/sim2sim_check.py -o "$onnx" \
@@ -29,12 +32,17 @@ if wait_done joystick_rough_300m; then
     --task flat_terrain_backlash \
     > RESULTS/r3/sim2sim_rough_300m_flat_scene.log 2>&1
   echo "[gates] rough 300m (flat scene) rc=$?"
+  fi
 fi
 
 for seed in 1 2; do
   name="joystick_backlash_300m_seed${seed}"
   if wait_done "$name" 3600; then
     onnx=$(latest_onnx "$name")
+    if [ -z "$onnx" ]; then
+      echo "[gates] ${name}: no ONNX found, skipping gate"
+      continue
+    fi
     cp "$onnx" "RESULTS/r3/artifacts/${name}.onnx"
     timeout 2400 python scripts/sim2sim_check.py -o "$onnx" \
       --task flat_terrain_backlash \
