@@ -38,6 +38,12 @@ def task_to_xml(task_name: str) -> str:
     does not exist (only the backlash rough scene ships); we keep the mapping
     for parity -- selecting it raises FileNotFoundError, as upstream would.
     """
+    if task_name == "rough_judge_backlash":
+        # generated 64x64 judge hfield: the second-engine gate scene for
+        # rough policies (see judge_terrain.py for the root-cause record)
+        from .judge_terrain import ensure_judge_scene
+
+        return ensure_judge_scene()
     xmls = os.path.join(asset_root(), "xmls")
     return {
         "flat_terrain": os.path.join(xmls, "scene_flat_terrain.xml"),

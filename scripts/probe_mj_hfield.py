@@ -67,6 +67,11 @@ def _asset_dict():
     for fn in os.listdir(adir):
         with open(os.path.join(adir, fn), "rb") as f:
             assets[f"assets/{fn}"] = f.read()
+    # the scene <include>s the robot XML by bare name
+    for fn in os.listdir(REF_XMLS):
+        if fn.endswith(".xml"):
+            with open(os.path.join(REF_XMLS, fn), "rb") as f:
+                assets[fn] = f.read()
     return assets
 
 
