@@ -48,6 +48,12 @@ def main():
     )
     parser.add_argument("--interactive", action="store_true",
                         help="terminal keyboard teleop (see deploy/teleop.py)")
+    parser.add_argument("--viewer", action="store_true",
+                        help="live mujoco.viewer window with GLFW keyboard "
+                             "teleop (reference mujoco_infer.py:156-241); "
+                             "needs a display")
+    parser.add_argument("--joystick", action="store_true",
+                        help="pygame joystick command input (with --viewer)")
     parser.add_argument("--save_obs", type=str, default="mujoco_saved_obs.pkl")
     parser.add_argument("--render", type=str, default=None,
                         help="record the rollout to a .gif/.mp4 (EGL offscreen)")
@@ -58,6 +64,13 @@ def main():
     infer = MjInfer(model_path, reference_data, args.onnx_model_path,
                     args.standing)
     infer.commands = list(args.command)
+    if args.viewer:
+        from open_duck_playground_tpu.deploy.viewer import (
+            PygameJoystickTeleop, run_viewer)
+
+        joystick = PygameJoystickTeleop(infer.commands) if args.joystick else None
+        run_viewer(infer, save_path=args.save_obs, joystick=joystick)
+        return
     teleop = None
     if args.interactive:
         from open_duck_playground_tpu.deploy.teleop import StdinTeleop

@@ -105,6 +105,59 @@ def playback(command=(0.1, 0.0, 0.0), periods=3, out="ref_motion.png",
     return foot_traj
 
 
+def live_view(command=(0.1, 0.0, 0.0), joystick=False, launch=None,
+              pygame_module=None, max_seconds=None):
+    """Live gait playback in a passive mujoco.viewer window with optional
+    dual pygame joystick command input (reference ref_motion_viewer.py:
+    67-86, 141-161, 176-207). Kinematic: reference joint targets are
+    written into qpos each 50 Hz tick and mj_forward'd — no dynamics."""
+    import time
+
+    import mujoco
+
+    from open_duck_playground_tpu.deploy.mujoco_infer_base import load_mj_model
+    from open_duck_playground_tpu.deploy.viewer import PygameJoystickTeleop
+
+    if launch is None:
+        import mujoco.viewer
+
+        launch = mujoco.viewer.launch_passive
+    prm = PolyReferenceMotion(constants.reference_motion_path())
+    model = load_mj_model(constants.task_to_xml("flat_terrain"))
+    data = mujoco.MjData(model)
+    kid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_KEY, "home")
+    mujoco.mj_resetDataKeyframe(model, data, kid)
+
+    command = list(command)
+    sticks = PygameJoystickTeleop(command, pygame_module) if joystick else None
+    ref_to_act = [0, 1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13, 14, 15]
+    act_qpos_addr = [
+        model.jnt_qposadr[mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_JOINT,
+                                            mujoco.mj_id2name(
+                                                model, mujoco.mjtObj.mjOBJ_ACTUATOR, a))]
+        for a in range(model.nu)
+    ]
+    i, ticks = 0, 0
+    with launch(model, data) as viewer:
+        while viewer.is_running():
+            t0 = time.perf_counter()
+            if sticks is not None:
+                sticks.poll()
+            frame = prm.get_reference_motion(*command, i)
+            for k, a in enumerate(ref_to_act):
+                data.qpos[act_qpos_addr[k]] = frame[a]
+            mujoco.mj_forward(model, data)
+            viewer.sync()
+            i = (i + 1) % prm.nb_steps_in_period
+            ticks += 1
+            if max_seconds is not None and ticks >= int(max_seconds * 50):
+                break
+            leftover = 0.02 - (time.perf_counter() - t0)
+            if leftover > 0:
+                time.sleep(leftover)
+    return ticks
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--command", type=float, nargs=3, default=[0.1, 0.0, 0.0])
@@ -113,7 +166,14 @@ def main():
     parser.add_argument("--print", dest="verbose", action="store_true")
     parser.add_argument("--render", type=str, default=None,
                         help="also write a .gif/.mp4 of the playback (EGL)")
+    parser.add_argument("--viewer", action="store_true",
+                        help="live mujoco.viewer playback (needs a display)")
+    parser.add_argument("--joystick", action="store_true",
+                        help="pygame joystick command input (with --viewer)")
     args = parser.parse_args()
+    if args.viewer:
+        live_view(tuple(args.command), joystick=args.joystick)
+        return
     playback(tuple(args.command), args.periods, args.out, args.verbose,
              args.render)
 
