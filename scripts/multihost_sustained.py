@@ -1,0 +1,200 @@
+"""Sustained 2-process jax.distributed training run (VERDICT r3 #3).
+
+Where multihost_cpu_demo.py proves seeding/psum EQUALITY on a tiny config,
+this runs a REAL (scaled-down) joystick recipe — flat terrain, DR on,
+episode_length 1000, 2M env steps — as:
+
+  ref: 1 process x 8 virtual CPU devices
+  dist: 2 processes x 4 devices each (jax.distributed over localhost)
+
+and records per-eval learning curves + steady-state env-steps/s for each.
+Checks (exit nonzero on failure):
+  - rank0 curve == rank1 curve EXACTLY (one global SPMD program)
+  - normalizer.count (total obs consumed) identical 2-proc vs 1-proc
+  - both runs LEARN: final eval reward > first eval reward + margin
+  - curve agreement: |final_2p - final_1p| within a tolerance band (the
+    runs are not bit-identical over 2M steps — psum reassociation differs
+    across device counts (f32), and chaotic contact dynamics amplify it —
+    so curve parity is statistical, same standard as seed variance)
+
+Artifacts: RESULTS/r4/multihost_sustained.json (curves, sps, verdicts).
+
+Maps to BASELINE config #5 (multi-host 300M recipe) at CPU-feasible scale;
+the same init_distributed + Mesh path drives real multi-host TPU pods
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PORT = int(os.environ.get("_MH_PORT", "56931"))
+
+# scaled-down REAL recipe (reference PPO preset ratios, train/config.py)
+CFG = dict(
+    num_timesteps=2_048_000,
+    episode_length=1000,
+    num_envs=256,
+    num_eval_envs=128,
+    unroll_length=20,
+    num_minibatches=8,
+    batch_size=32,          # num_envs = num_minibatches * batch_size
+    num_updates_per_batch=4,
+    num_evals=5,
+    seed=0,
+)
+
+
+def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={nloc}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        from open_duck_playground_tpu.parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator_address=f"127.0.0.1:{PORT}",
+            num_processes=nproc,
+            process_id=rank,
+        )
+    assert jax.process_count() == nproc
+    assert jax.device_count() == nproc * nloc
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from open_duck_playground_tpu.envs import randomize
+    from open_duck_playground_tpu.envs.joystick import Joystick
+    from open_duck_playground_tpu.train import ppo
+    from open_duck_playground_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+    env = Joystick(task="flat_terrain")
+    eval_env = Joystick(task="flat_terrain")
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+
+    curve = []
+    times = [time.monotonic()]
+
+    def progress(step, metrics):
+        times.append(time.monotonic())
+        curve.append({
+            "step": int(step),
+            "reward": float(metrics.get("eval/episode_reward", float("nan"))),
+            "length": float(metrics.get("eval/avg_episode_length", float("nan"))),
+        })
+        print(f"[{nproc}proc rank {rank}] step {step} "
+              f"reward {curve[-1]['reward']:.2f}", flush=True)
+
+    t_start = time.monotonic()
+    _, (normalizer, params), _ = ppo.train(
+        env,
+        eval_env=eval_env,
+        mesh=mesh,
+        randomization_fn=randomize.domain_randomize,
+        progress_fn=progress,
+        **CFG,
+    )
+    wall = time.monotonic() - t_start
+    # steady-state sps: last inter-eval interval (first pays the compiles)
+    ss_sps = None
+    if len(times) >= 3:
+        n_evals_after = len(times) - 2
+        steps_per_eval = CFG["num_timesteps"] / max(CFG["num_evals"] - 1, 1)
+        ss_sps = steps_per_eval / min(
+            times[i + 1] - times[i] for i in range(1, len(times) - 1)
+        ) if n_evals_after >= 1 else None
+    leaves = jax.tree_util.tree_leaves((normalizer, params))
+    result = {
+        "rank": rank,
+        "nproc": nproc,
+        "count": float(np.asarray(normalizer.count)),
+        "abs_sum": float(sum(np.abs(np.asarray(l, np.float64)).sum() for l in leaves)),
+        "curve": curve,
+        "wall_s": round(wall, 1),
+        "steady_sps": round(ss_sps, 1) if ss_sps else None,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(f"[{nproc}proc rank {rank}] done in {wall:.0f}s steady_sps={ss_sps}",
+          flush=True)
+
+
+def _spawn(rank: int, nproc: int, nloc: int, out_path: str):
+    env = dict(os.environ)
+    env.update(_MH_RANK=str(rank), _MH_NPROC=str(nproc), _MH_NLOC=str(nloc),
+               _MH_OUT=out_path)
+    env.pop("XLA_FLAGS", None)
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def main() -> None:
+    rank = os.environ.get("_MH_RANK")
+    if rank is not None:
+        worker(int(rank), int(os.environ["_MH_NPROC"]),
+               int(os.environ["_MH_NLOC"]), os.environ["_MH_OUT"])
+        return
+
+    tmp = tempfile.mkdtemp(prefix="mh_sustained_")
+    paths = {k: os.path.join(tmp, f"{k}.json") for k in ("ref", "r0", "r1")}
+
+    p = _spawn(0, 1, 8, paths["ref"])
+    if p.wait(timeout=14400):
+        raise SystemExit("reference (1-process) worker failed")
+    procs = [_spawn(r, 2, 4, paths[f"r{r}"]) for r in range(2)]
+    rc = [p.wait(timeout=14400) for p in procs]
+    if any(rc):
+        raise SystemExit(f"worker exit codes: {rc}")
+
+    ref, r0, r1 = (json.load(open(paths[k])) for k in ("ref", "r0", "r1"))
+
+    verdicts = {}
+    # 1. ranks of the distributed run are replicas: exact curve equality
+    verdicts["rank_equality"] = (r0["curve"] == r1["curve"]
+                                 and r0["count"] == r1["count"])
+    # 2. identical data volume consumed
+    verdicts["count_match"] = r0["count"] == ref["count"]
+    # 3. both runs learn
+    def improves(c):
+        rs = [p["reward"] for p in c["curve"] if p["reward"] == p["reward"]]
+        return len(rs) >= 2 and rs[-1] > rs[0] + 5.0
+    verdicts["ref_learns"] = improves(ref)
+    verdicts["dist_learns"] = improves(r0)
+    # 4. statistical curve agreement of the final eval
+    rf = ref["curve"][-1]["reward"]
+    rd = r0["curve"][-1]["reward"]
+    verdicts["final_within_band"] = abs(rf - rd) <= 0.4 * max(abs(rf), abs(rd), 1.0)
+
+    out = {
+        "config": CFG,
+        "ref": {k: ref[k] for k in ("curve", "wall_s", "steady_sps", "count")},
+        "dist_rank0": {k: r0[k] for k in ("curve", "wall_s", "steady_sps", "count")},
+        "verdicts": verdicts,
+    }
+    os.makedirs("RESULTS/r4", exist_ok=True)
+    with open("RESULTS/r4/multihost_sustained.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(verdicts))
+    if not all(verdicts.values()):
+        raise SystemExit(f"FAILED: {verdicts}")
+    print(f"multihost_sustained OK: ref final {rf:.1f} dist final {rd:.1f}; "
+          f"sps ref {ref['steady_sps']} dist {r0['steady_sps']} "
+          f"(1-core host: wall-clock scaling not meaningful, "
+          f"equality+curve checks are the evidence)")
+
+
+if __name__ == "__main__":
+    main()
