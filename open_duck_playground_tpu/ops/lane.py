@@ -303,6 +303,100 @@ def hf_bilinear_gather(H, iy, ix, mode="direct"):
     return _hf_onehot_2d(H, iy, ix)
 
 
+def hf_window_corners(H, iys, ixs, K, mode="direct"):
+    """Bilinear corners for V vertices sharing a small spatial window.
+
+    iys/ixs: length-V lists of integer lane tiles (same shape). Returns a
+    length-V list of (z00, z10, z01, z11) tuples.
+
+    mode "direct": per-vertex advanced indexing (eager CPU / XLA).
+
+    mode "onehot": H is the TRANSPOSED table (ncol, nrow). All V vertices
+    of a foot hull span at most a few hfield cells, so instead of 2 full
+    one-hot matmuls PER VERTEX (hf_bilinear_gather — 2V*(ncol*nrow)
+    MACs/lane), gather the K shared rows [base_iy, base_iy+K-1] with ONE
+    matmul of width K*SUB*LANE, extract the K x K window per lane with
+    K^2 column mask-reductions, and resolve every vertex's 4 corners from
+    the window with cheap elementwise selects. For the duck foot (V=17,
+    K=4) this is ~8.5x fewer MXU MACs and ~4x fewer VPU reductions per
+    pair. The caller picks K >= ceil(hull_diag/cell) + 2 so the clamped
+    window always covers every vertex's (iy, iy+1, ix, ix+1).
+    """
+    if mode == "direct":
+        return [
+            (H[iy, ix], H[iy, ix + 1], H[iy + 1, ix], H[iy + 1, ix + 1])
+            for iy, ix in zip(iys, ixs)
+        ]
+
+    if iys[0].ndim == 1:  # eager twin: (B,) tiles
+        out = _hf_window_2d(H, [iy[None, :] for iy in iys],
+                            [ix[None, :] for ix in ixs], K)
+        return [tuple(c[0] for c in corners) for corners in out]
+    return _hf_window_2d(H, iys, ixs, K)
+
+
+def _hf_window_2d(HT, iys, ixs, K):
+    import jax
+
+    ncol, nrow = HT.shape
+    sub, lane_n = iys[0].shape
+    base_iy = iys[0]
+    base_ix = ixs[0]
+    for v in range(1, len(iys)):
+        base_iy = jnp.minimum(base_iy, iys[v])
+        base_ix = jnp.minimum(base_ix, ixs[v])
+    base_iy = jnp.clip(base_iy, 0, nrow - K)
+    base_ix = jnp.clip(base_ix, 0, ncol - K)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, lane_n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ncol, lane_n), 0)
+    # one wide standard-form matmul gathers all K window rows at once
+    mparts = []  # k-major, sublane-minor (matches the slicing below)
+    for k in range(K):
+        for r in range(sub):
+            mparts.append((rows == base_iy[r : r + 1, :] + k).astype(HT.dtype))
+    M = jnp.concatenate(mparts, axis=1) if len(mparts) > 1 else mparts[0]
+    B = jnp.dot(HT, M, preferred_element_type=jnp.float32)  # (ncol, K*S*L)
+
+    # K x K window per lane: column mask-reductions
+    patch = [[None] * K for _ in range(K)]  # [ky][kx] -> (sub, lane)
+    for k in range(K):
+        rparts = [[] for _ in range(K)]
+        for r in range(sub):
+            sl = slice((k * sub + r) * lane_n, (k * sub + r + 1) * lane_n)
+            Bkr = B[:, sl]
+            for j in range(K):
+                cm = (cols == base_ix[r : r + 1, :] + j).astype(HT.dtype)
+                rparts[j].append(jnp.sum(Bkr * cm, axis=0, keepdims=True))
+        for j in range(K):
+            patch[k][j] = (jnp.concatenate(rparts[j], axis=0)
+                           if sub > 1 else rparts[j][0])
+
+    # per-vertex corners from the window (clamp is a no-op when K covers
+    # the hull span; it bounds the error to one cell in pathological poses)
+    out = []
+    for iy, ix in zip(iys, ixs):
+        ky = jnp.clip(iy - base_iy, 0, K - 2)
+        kx = jnp.clip(ix - base_ix, 0, K - 2)
+        z00 = z10 = z01 = z11 = None
+        for k in range(K):
+            wy0 = (ky == k).astype(HT.dtype)
+            wy1 = (ky + 1 == k).astype(HT.dtype)
+            row0 = row1 = None
+            for j in range(K):
+                wx0 = (kx == j).astype(HT.dtype)
+                wx1 = (kx + 1 == j).astype(HT.dtype)
+                p = patch[k][j]
+                row0 = p * wx0 if row0 is None else row0 + p * wx0
+                row1 = p * wx1 if row1 is None else row1 + p * wx1
+            z00 = row0 * wy0 if z00 is None else z00 + row0 * wy0
+            z10 = row1 * wy0 if z10 is None else z10 + row1 * wy0
+            z01 = row0 * wy1 if z01 is None else z01 + row0 * wy1
+            z11 = row1 * wy1 if z11 is None else z11 + row1 * wy1
+        out.append((z00, z10, z01, z11))
+    return out
+
+
 def _hf_onehot_2d(HT, iy, ix):
     import jax
 

@@ -631,15 +631,12 @@ class LanePhysics:
                 raise NotImplementedError(f"pair type {ptype} in lane kernel")
         return contacts
 
-    def _hf_sample(self, x, y, hf, gather):
-        """collision.hfield_height_normal on lane tiles.
-
-        Returns (z_surf, n_local vec3) at local hfield-frame (x, y)."""
+    def _hf_indices(self, x, y):
+        """Local hfield-frame (x, y) -> integer cell indices + fractions."""
         c = self.c
         nrow, ncol = c.hfield_data.shape
         rx = float(c.hfield_size[0])
         ry = float(c.hfield_size[1])
-        ztop = float(c.hfield_size[2])
         gx = (x + rx) / (2.0 * rx) * (ncol - 1)
         gy = (y + ry) / (2.0 * ry) * (nrow - 1)
         gx = jnp.clip(gx, 0.0, ncol - 1.001)
@@ -648,8 +645,17 @@ class LanePhysics:
         iy = jnp.floor(gy).astype(jnp.int32)
         fx = gx - ix.astype(gx.dtype)
         fy = gy - iy.astype(gy.dtype)
-        z00, z10, z01, z11 = ln.hf_bilinear_gather(hf, iy, ix, gather)
-        z00, z10, z01, z11 = z00 * ztop, z10 * ztop, z01 * ztop, z11 * ztop
+        return ix, iy, fx, fy
+
+    def _hf_interp(self, fx, fy, corners):
+        """Triangulated surface height + local normal from cell corners
+        (collision.hfield_height_normal on lane tiles)."""
+        c = self.c
+        nrow, ncol = c.hfield_data.shape
+        rx = float(c.hfield_size[0])
+        ry = float(c.hfield_size[1])
+        ztop = float(c.hfield_size[2])
+        z00, z10, z01, z11 = (z * ztop for z in corners)
         dx = 2.0 * rx / (ncol - 1)
         dy = 2.0 * ry / (nrow - 1)
         lower = fx + fy < 1.0
@@ -666,6 +672,22 @@ class LanePhysics:
         nrm = jnp.sqrt(ln.v3_dot(nvec, nvec))
         nvec = ln.v3_scale(nvec, 1.0 / nrm)
         return z, nvec
+
+    def _hf_sample(self, x, y, hf, gather):
+        """collision.hfield_height_normal on lane tiles (single point)."""
+        ix, iy, fx, fy = self._hf_indices(x, y)
+        corners = ln.hf_bilinear_gather(hf, iy, ix, gather)
+        return self._hf_interp(fx, fy, corners)
+
+    def _hf_window_K(self, hull: int) -> int:
+        """Window size covering every vertex of `hull` plus the +1 corner:
+        ceil(hull bounding-box diagonal / cell) + 2 (worst-case rotation)."""
+        c = self.c
+        nrow, ncol = c.hfield_data.shape
+        cell = 2.0 * float(c.hfield_size[0]) / (ncol - 1)
+        v = np.asarray(c.hull_vert[hull], np.float64)
+        diag = float(np.linalg.norm(v.max(0) - v.min(0)))
+        return int(np.ceil(diag / cell)) + 2
 
     def _hfield_hull(self, p, g1, g2, xpos, xquat, hf, gather):
         """collision.hfield_hull on lane tiles: per-vertex surface test,
@@ -689,15 +711,28 @@ class LanePhysics:
         V = verts.shape[0]
         w = [ln.v3_add(gpos, ln.m3_vec(gmat, [float(x) for x in verts[v]]))
              for v in range(V)]
-        support, mask, n_loc = [], [], []
+        # per-vertex local coords + cell indices; corner heights via the
+        # shared-window gather (ONE one-hot matmul for all V vertices
+        # instead of 2 per vertex — lane.hf_window_corners)
+        locs, ixs, iys, fxs, fys = [], [], [], [], []
         for v in range(V):
             d = [w[v][i] - float(hp[i]) for i in range(3)]
             # local = R^T d
             loc = [
                 sum(float(R[i][j]) * d[i] for i in range(3)) for j in range(3)
             ]
-            z_surf, nv = self._hf_sample(loc[0], loc[1], hf, gather)
-            gap = (loc[2] - z_surf) * nv[2]
+            locs.append(loc)
+            ix, iy, fx, fy = self._hf_indices(loc[0], loc[1])
+            ixs.append(ix)
+            iys.append(iy)
+            fxs.append(fx)
+            fys.append(fy)
+        corners = ln.hf_window_corners(hf, iys, ixs, self._hf_window_K(hull),
+                                       gather)
+        support, mask, n_loc = [], [], []
+        for v in range(V):
+            z_surf, nv = self._hf_interp(fxs[v], fys[v], corners[v])
+            gap = (locs[v][2] - z_surf) * nv[2]
             support.append(-gap)
             n_loc.append(nv)
         # candidate band within 1mm of the deepest vertex (see plane path)
