@@ -88,12 +88,14 @@ class PolicyLoopMixin:
     def control_step(self) -> np.ndarray:
         """One 50 Hz control tick: obs -> policy -> clamped motor targets."""
         if not self.standing:
-            cmd_factor = 1.0
-            if self.phase_freq_vx_ref > 0.0:
-                cmd_factor = min(
-                    max(abs(self.commands[0]) / self.phase_freq_vx_ref, 1.0),
-                    self.phase_freq_max,
-                )
+            # the ONE clock law, shared with training (numpy path of the
+            # backend-dispatching helper; constants come from ONNX metadata)
+            from open_duck_playground_tpu.envs.joystick import (
+                phase_frequency_from_command,
+            )
+            cmd_factor = float(phase_frequency_from_command(
+                self.commands[0], self.phase_freq_vx_ref, self.phase_freq_max
+            ))
             self.imitation_i = (
                 self.imitation_i + 1.0 * self.phase_frequency_factor * cmd_factor
             ) % self.PRM.nb_steps_in_period

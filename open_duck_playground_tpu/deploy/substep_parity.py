@@ -214,11 +214,21 @@ def compare_state(om, mm, dd, qpos, qvel, ctrl, gmap, stats):
             if active[r0 + our_off]:
                 our_active_ids.add((int(mujoco.mjtConstraint.mjCNSTR_CONTACT_PYRAMIDAL),
                                     i, mj_pos))
-    # contact active rows ours has but mj lacks (unmatched contacts) count as
-    # mismatch via symmetric difference on the contact subset
+    # contact active rows ours has but mj lacks count as mismatch: any OUR
+    # active slot that is unmatched or perm-failed cannot appear in
+    # our_active_ids, so require every our-active slot to be mapped before
+    # comparing the id sets (else a partial map could fake agreement)
+    n_slots = (len(active) - nfri - nlim) // 4
+    efc_valid = np.asarray(oc.efc_valid)
+    our_active_slots = {
+        s for s in range(n_slots)
+        if bool(efc_valid[s]) and active[nfri + nlim + 4 * s:
+                                         nfri + nlim + 4 * s + 4].any()
+    }
     mj_con_active = {k for k in mj_active_ids
                      if k[0] == int(mujoco.mjtConstraint.mjCNSTR_CONTACT_PYRAMIDAL)}
-    agree = mj_con_active == our_active_ids
+    agree = (our_active_slots <= set(perms)
+             and mj_con_active == our_active_ids)
     qerr = np.abs(ours["qacc"] - mj["qacc"]).max()
     stats["qacc_all"].append(qerr)
     (stats["qacc_as_match"] if agree else stats["qacc_as_mismatch"]).append(qerr)

@@ -42,9 +42,10 @@ def phase_frequency_from_command(cmd_vx, vx_ref: float, f_max: float):
     jnp tracers (training) and numpy scalars (deploy twin); deploy reads the
     same constants back from ONNX metadata so both sides run one law.
     """
+    xp = jnp if isinstance(cmd_vx, jnp.ndarray) else np
     if vx_ref <= 0.0:
-        return jnp.float32(1.0)
-    return jnp.clip(jnp.abs(cmd_vx) / vx_ref, 1.0, f_max).astype(jnp.float32)
+        return xp.float32(1.0)
+    return xp.clip(xp.abs(cmd_vx) / vx_ref, 1.0, f_max).astype(xp.float32)
 
 
 def default_config() -> config_dict.ConfigDict:

@@ -23,8 +23,8 @@ from open_duck_playground_tpu.export.onnx_model import ParsedModel, load_model
 class NumpyOnnxSession:
     """Reference interpreter for the exported policy graphs."""
 
-    def __init__(self, path: str):
-        self.model = load_model(path)
+    def __init__(self, path: str, model: ParsedModel | None = None):
+        self.model = model if model is not None else load_model(path)
 
     def run(self, output_names, feeds: Dict[str, np.ndarray]):
         env: Dict[str, np.ndarray] = dict(self.model.initializers)
@@ -69,8 +69,10 @@ class OnnxInfer:
         self.input_name = input_name
         self.awd = awd
         # recipe constants carried in metadata_props (e.g. the gait-clock
-        # command law) — parsed with our own reader for both backends
-        self.metadata = load_model(onnx_model_path).metadata
+        # command law) — parsed with our own reader for both backends;
+        # the single parse is shared with the numpy fallback session
+        parsed = load_model(onnx_model_path)
+        self.metadata = parsed.metadata
         try:
             import onnxruntime  # noqa: PLC0415
 
@@ -79,7 +81,7 @@ class OnnxInfer:
             )
             self._run = lambda feeds: self.ort_session.run(None, feeds)
         except ImportError:
-            session = NumpyOnnxSession(onnx_model_path)
+            session = NumpyOnnxSession(onnx_model_path, model=parsed)
             self._run = lambda feeds: session.run(None, feeds)
 
     def infer(self, inputs):

@@ -35,7 +35,9 @@ _VERSION = "judge-v1-64"  # bump to force regeneration
 
 
 def judge_heightfield(nrow: int = JUDGE_NROW, seed: int = JUDGE_SEED) -> np.ndarray:
-    """[0,1]-normalized smooth random bumps (same recipe as the probe)."""
+    """[0,1]-normalized smooth random bumps — the canonical terrain recipe;
+    scripts/probe_mj_hfield.py imports this so its stability matrix always
+    measures the terrain the judge gate ships."""
     rng = np.random.RandomState(seed)
     h = rng.rand(nrow, nrow)
     k = max(nrow // 32, 1)

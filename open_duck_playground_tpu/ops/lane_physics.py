@@ -684,7 +684,10 @@ class LanePhysics:
         ceil(hull bounding-box diagonal / cell) + 2 (worst-case rotation)."""
         c = self.c
         nrow, ncol = c.hfield_data.shape
-        cell = 2.0 * float(c.hfield_size[0]) / (ncol - 1)
+        # size the window by the FINER grid axis so it covers the hull on
+        # rectangular hfields too (x cells span size[0]/... , y size[1]/...)
+        cell = min(2.0 * float(c.hfield_size[0]) / (ncol - 1),
+                   2.0 * float(c.hfield_size[1]) / (nrow - 1))
         v = np.asarray(c.hull_vert[hull], np.float64)
         diag = float(np.linalg.norm(v.max(0) - v.min(0)))
         return int(np.ceil(diag / cell)) + 2

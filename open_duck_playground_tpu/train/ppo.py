@@ -412,36 +412,88 @@ def train(
     if auto_resume and save_full_state_dir is not None:
         from open_duck_playground_tpu.train import checkpoint as ckpt
 
-        found = ckpt.latest_full(save_full_state_dir)
-        if found is not None:
-            resume_epoch, resume_path = found
-            target = {
-                "training_state": training_state,
-                "env_state": env_state,
-                "epoch_key": epoch_key,
-                "eval_key": eval_key,
-            }
-            restored = ckpt.load_full(resume_path, target)
-            training_state = jax.device_put(restored["training_state"], sh_rep)
-            env_state = jax.device_put(restored["env_state"], sh_env)
-            epoch_key = restored["epoch_key"]
-            eval_key = restored["eval_key"]
-            start_epoch = resume_epoch + 1
-            print(f"[ppo] resumed full train state from {resume_path} "
-                  f"(epoch {resume_epoch}, env_steps "
-                  f"{int(training_state.env_steps)})", flush=True)
+        target = {
+            "training_state": training_state,
+            "env_state": env_state,
+            "epoch_key": epoch_key,
+            "eval_key": eval_key,
+        }
+        if jax.process_count() > 1:
+            # multi-process: host0 decides and loads; the state is broadcast
+            # so every process agrees on start_epoch (a per-process decision
+            # would desync the collective schedule) and resume works without
+            # a shared filesystem
+            from jax.experimental import multihost_utils
+
+            found = (ckpt.latest_full(save_full_state_dir)
+                     if jax.process_index() == 0 else None)
+            resume_epoch = int(multihost_utils.broadcast_one_to_all(
+                np.int32(found[0] if found else -1)))
+            if resume_epoch >= 0:
+                # numpy template at GLOBAL shapes (x.shape on a global Array
+                # is the global shape, so this is process-independent)
+                template = jax.tree_util.tree_map(
+                    lambda x: np.zeros(x.shape, x.dtype), target)
+                if jax.process_index() == 0:
+                    host_state = ckpt.load_full(
+                        ckpt.full_path(save_full_state_dir, resume_epoch),
+                        template)
+                else:
+                    host_state = template
+                restored = multihost_utils.broadcast_one_to_all(host_state)
+
+                def _put(x, sh):
+                    x = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        x.shape, sh, lambda idx: x[idx])
+
+                training_state = jax.tree_util.tree_map(
+                    lambda x: _put(x, sh_rep), restored["training_state"])
+                env_state = jax.tree_util.tree_map(
+                    lambda x: _put(x, sh_env), restored["env_state"])
+                epoch_key = jnp.asarray(restored["epoch_key"])
+                eval_key = jnp.asarray(restored["eval_key"])
+                start_epoch = resume_epoch + 1
+                print(f"[ppo] resumed full train state (broadcast) epoch "
+                      f"{resume_epoch}, env_steps "
+                      f"{int(training_state.env_steps)}", flush=True)
+        else:
+            found = ckpt.latest_full(save_full_state_dir)
+            if found is not None:
+                resume_epoch, resume_path = found
+                restored = ckpt.load_full(resume_path, target)
+                training_state = jax.device_put(
+                    restored["training_state"], sh_rep)
+                env_state = jax.device_put(restored["env_state"], sh_env)
+                epoch_key = restored["epoch_key"]
+                eval_key = restored["eval_key"]
+                start_epoch = resume_epoch + 1
+                print(f"[ppo] resumed full train state from {resume_path} "
+                      f"(epoch {resume_epoch}, env_steps "
+                      f"{int(training_state.env_steps)})", flush=True)
 
     def _save_full_state(epoch_i: int):
         if save_full_state_dir is None:
             return
         from open_duck_playground_tpu.train import checkpoint as ckpt
 
+        if jax.process_count() > 1:
+            # env_state is env-sharded across processes: device_get would
+            # fail on non-addressable shards, so gather the global value
+            # (every process must join this collective), then host0 writes
+            from jax.experimental import multihost_utils
+
+            env_np = multihost_utils.process_allgather(env_state, tiled=True)
+        else:
+            env_np = jax.device_get(env_state)
         state = {
             "training_state": jax.device_get(training_state),
-            "env_state": jax.device_get(env_state),
+            "env_state": env_np,
             "epoch_key": jax.device_get(epoch_key),
             "eval_key": jax.device_get(eval_key),
         }
+        if jax.process_index() != 0:
+            return
         try:
             ckpt.save_full(save_full_state_dir, epoch_i, state,
                            keep=keep_full_states)

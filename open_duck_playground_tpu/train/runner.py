@@ -119,9 +119,12 @@ class BaseRunner:
             restore_checkpoint_path=self.restore_checkpoint_path,
             seed=self.args.seed,
             host_loop=getattr(self.args, "host_loop", None),
+            # passed on EVERY process: ppo gates the disk write on host0 but
+            # all processes must join the save/resume collectives and agree
+            # on start_epoch
             save_full_state_dir=(
-                str(self.output_dir) if self.is_host0
-                and not self.args.no_full_state_checkpoints else None
+                str(self.output_dir)
+                if not self.args.no_full_state_checkpoints else None
             ),
             auto_resume=self.args.auto_resume,
             keep_full_states=self.args.keep_full_states,

@@ -83,18 +83,33 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
     eval_env = Joystick(task="flat_terrain")
     mesh = Mesh(np.array(jax.devices()), ("env",))
 
-    curve = []
+    # the distributed leg is run in TWO stages — killed after _MH_STOP epochs
+    # with the full train state on disk, then auto-resumed to completion —
+    # so curve rows accumulate across stages in a jsonl next to out_path
+    curve_path = out_path + ".curve.jsonl"
     times = [time.monotonic()]
 
     def progress(step, metrics):
         times.append(time.monotonic())
-        curve.append({
+        row = {
             "step": int(step),
             "reward": float(metrics.get("eval/episode_reward", float("nan"))),
             "length": float(metrics.get("eval/avg_episode_length", float("nan"))),
-        })
+        }
+        with open(curve_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
         print(f"[{nproc}proc rank {rank}] step {step} "
-              f"reward {curve[-1]['reward']:.2f}", flush=True)
+              f"reward {row['reward']:.2f}", flush=True)
+
+    extra = {}
+    ckpt_dir = os.environ.get("_MH_CKPT")
+    if ckpt_dir:
+        # exercises the multi-process full-state path: process_allgather of
+        # the env-sharded batch + host0-only writes + broadcast resume
+        extra.update(save_full_state_dir=ckpt_dir, auto_resume=True)
+    stop = os.environ.get("_MH_STOP")
+    if stop:
+        extra["stop_after_epochs"] = int(stop)
 
     t_start = time.monotonic()
     _, (normalizer, params), _ = ppo.train(
@@ -104,16 +119,20 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
         randomization_fn=randomize.domain_randomize,
         progress_fn=progress,
         **CFG,
+        **extra,
     )
     wall = time.monotonic() - t_start
-    # steady-state sps: last inter-eval interval (first pays the compiles)
+    with open(curve_path) as f:
+        curve = [json.loads(line) for line in f]
+    # steady-state sps: median post-warmup inter-eval interval (the first
+    # interval pays the compiles; median resists one transiently-fast eval)
     ss_sps = None
     if len(times) >= 3:
-        n_evals_after = len(times) - 2
         steps_per_eval = CFG["num_timesteps"] / max(CFG["num_evals"] - 1, 1)
-        ss_sps = steps_per_eval / min(
+        intervals = sorted(
             times[i + 1] - times[i] for i in range(1, len(times) - 1)
-        ) if n_evals_after >= 1 else None
+        )
+        ss_sps = steps_per_eval / intervals[len(intervals) // 2]
     leaves = jax.tree_util.tree_leaves((normalizer, params))
     result = {
         "rank": rank,
@@ -130,10 +149,11 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
           flush=True)
 
 
-def _spawn(rank: int, nproc: int, nloc: int, out_path: str):
+def _spawn(rank: int, nproc: int, nloc: int, out_path: str,
+           ckpt: str = "", stop: str = ""):
     env = dict(os.environ)
     env.update(_MH_RANK=str(rank), _MH_NPROC=str(nproc), _MH_NLOC=str(nloc),
-               _MH_OUT=out_path)
+               _MH_OUT=out_path, _MH_CKPT=ckpt, _MH_STOP=stop)
     env.pop("XLA_FLAGS", None)
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)], env=env,
@@ -154,10 +174,21 @@ def main() -> None:
     p = _spawn(0, 1, 8, paths["ref"])
     if p.wait(timeout=14400):
         raise SystemExit("reference (1-process) worker failed")
-    procs = [_spawn(r, 2, 4, paths[f"r{r}"]) for r in range(2)]
+    # distributed leg, interrupted by design: stage 1 stops after 2 epochs
+    # with the full train state checkpointed (multi-process allgather +
+    # host0 write), stage 2 auto-resumes and completes the recipe — the
+    # final curve must still satisfy every check against the UNINTERRUPTED
+    # 1-process reference
+    ckpt = os.path.join(tmp, "ckpt")
+    procs = [_spawn(r, 2, 4, paths[f"r{r}"], ckpt=ckpt, stop="2")
+             for r in range(2)]
     rc = [p.wait(timeout=14400) for p in procs]
     if any(rc):
-        raise SystemExit(f"worker exit codes: {rc}")
+        raise SystemExit(f"stage-1 worker exit codes: {rc}")
+    procs = [_spawn(r, 2, 4, paths[f"r{r}"], ckpt=ckpt) for r in range(2)]
+    rc = [p.wait(timeout=14400) for p in procs]
+    if any(rc):
+        raise SystemExit(f"stage-2 (resume) worker exit codes: {rc}")
 
     ref, r0, r1 = (json.load(open(paths[k])) for k in ("ref", "r0", "r1"))
 
@@ -177,6 +208,14 @@ def main() -> None:
     rf = ref["curve"][-1]["reward"]
     rd = r0["curve"][-1]["reward"]
     verdicts["final_within_band"] = abs(rf - rd) <= 0.4 * max(abs(rf), abs(rd), 1.0)
+    # 5. the kill+resume really replayed the full recipe: the merged curve
+    #    has every eval row (init + one per epoch), no gap and no repeat
+    expected_rows = CFG["num_evals"]
+    verdicts["resume_curve_complete"] = (
+        len(r0["curve"]) == expected_rows
+        and [p["step"] for p in r0["curve"]]
+        == sorted({p["step"] for p in r0["curve"]})
+    )
 
     out = {
         "config": CFG,

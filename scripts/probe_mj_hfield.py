@@ -30,18 +30,14 @@ SCENE = f"{REF_XMLS}/scene_rough_terrain_backlash.xml"
 
 
 def make_hfield(nrow: int, amplitude_m: float, zmax: float, seed: int = 0):
-    """Synthetic rough terrain: smooth random bumps, [0,1] normalized."""
-    rng = np.random.RandomState(seed)
-    h = rng.rand(nrow, nrow)
-    # smooth with a separable box blur so slopes are gentle like the PNG
-    k = max(nrow // 32, 1)
-    if k > 1:
-        ker = np.ones(k) / k
-        h = np.apply_along_axis(lambda r: np.convolve(r, ker, "same"), 0, h)
-        h = np.apply_along_axis(lambda r: np.convolve(r, ker, "same"), 1, h)
-    h -= h.min()
-    if h.max() > 0:
-        h /= h.max()
+    """Synthetic rough terrain: the SAME recipe the shipped judge scene uses
+    (one source of truth — the probe's stability matrix must measure the
+    terrain the judge gate runs on)."""
+    from open_duck_playground_tpu.models.open_duck_mini_v2.judge_terrain import (
+        judge_heightfield,
+    )
+
+    h = judge_heightfield(nrow=nrow, seed=seed)
     # MuJoCo scales data [0,1] by size[2]=zmax; shrink to the amplitude
     return (h * (amplitude_m / zmax)).astype(np.float32)
 

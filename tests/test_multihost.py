@@ -61,7 +61,13 @@ _SMOKE_WORKER = textwrap.dedent("""
 
 def test_multihost_smoke_two_process():
     """2-process jax.distributed + global-mesh collective, default suite."""
-    port = 56913
+    # ephemeral free port: a fixed literal collides when two suites (or the
+    # suite + scripts/multihost_sustained.py) run on the same box
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
@@ -87,3 +93,102 @@ def test_multihost_two_process_equality():
     )
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     assert "multihost_cpu_demo OK" in out.stdout
+
+
+# Multi-process full-state checkpoint + resume on the ToyEnv (the duck PPO
+# path is identical; the toy keeps jit to seconds). Exercises exactly the
+# branch single-process tests cannot: host0-decides + broadcast_one_to_all
+# resume, process_allgather of the env-sharded batch, host0-only writes.
+_RESUME_WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, os.getcwd())
+    sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import Mesh
+    from open_duck_playground_tpu.parallel import mesh as pmesh
+    from open_duck_playground_tpu.train import ppo
+    from open_duck_playground_tpu.utils.cache import setup_compilation_cache
+    from test_resume import ToyEnv
+
+    rank = int(os.environ["_MH_RANK"])
+    pmesh.init_distributed(coordinator_address="127.0.0.1:%d",
+                           num_processes=2, process_id=rank)
+    assert jax.process_count() == 2 and jax.device_count() == 4
+    setup_compilation_cache()
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+
+    evals = []
+    def progress(step, metrics):
+        if "eval/episode_reward" in metrics:
+            evals.append([int(step), float(metrics["eval/episode_reward"])])
+
+    ckpt_dir = os.environ.get("_MH_CKPT") or None
+    stop = os.environ.get("_MH_STOP") or None
+    ppo.train(
+        ToyEnv(), eval_env=ToyEnv(), mesh=mesh,
+        num_timesteps=2048, episode_length=16, num_envs=8, num_eval_envs=4,
+        unroll_length=4, num_minibatches=2, batch_size=4,
+        num_updates_per_batch=1, num_evals=5, seed=7,
+        network_factory={
+            "policy_hidden_layer_sizes": (16,),
+            "value_hidden_layer_sizes": (16,),
+            "policy_obs_key": "state",
+            "value_obs_key": "privileged_state",
+        },
+        progress_fn=progress,
+        save_full_state_dir=ckpt_dir,
+        auto_resume=ckpt_dir is not None,
+        stop_after_epochs=int(stop) if stop else None,
+        host_loop=True,
+    )
+    print("EVALS " + json.dumps({"rank": rank, "evals": evals}), flush=True)
+""")
+
+
+def _run_resume_stage(port, tmp_path, ckpt="", stop=""):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for rank in range(2):
+        e = dict(env, _MH_RANK=str(rank), _MH_CKPT=ckpt, _MH_STOP=stop)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _RESUME_WORKER % port], env=e, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=1800) for p in procs]
+    evals = {}
+    for rank, (p, (so, se)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank}\nstdout:{so}\nstderr:{se}"
+        import json as _json
+
+        row = next(l for l in so.splitlines() if l.startswith("EVALS "))
+        evals[rank] = _json.loads(row[len("EVALS "):])["evals"]
+    return evals
+
+
+def _free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@slow
+def test_multiprocess_kill_and_resume_bit_reproduces_curve(tmp_path):
+    ckpt = str(tmp_path / "mh_ckpt")
+    # A: uninterrupted 2-process run
+    full = _run_resume_stage(_free_port(), tmp_path)
+    assert len(full[0]) == 5 and full[0] == full[1]
+    # B: killed after 2 epochs (full state written by host0 via allgather)
+    part = _run_resume_stage(_free_port(), tmp_path, ckpt=ckpt, stop="2")
+    assert len(part[0]) == 3 and part[0] == part[1]
+    assert os.path.isdir(ckpt)
+    # C: auto-resume (host0 loads, state broadcast to all processes)
+    rest = _run_resume_stage(_free_port(), tmp_path, ckpt=ckpt)
+    assert len(rest[0]) == 2 and rest[0] == rest[1]
+    merged = part[0] + rest[0]
+    assert merged == full[0], f"{merged} != {full[0]}"
