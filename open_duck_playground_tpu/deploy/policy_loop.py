@@ -18,6 +18,8 @@ import pickle
 
 import numpy as np
 
+from open_duck_playground_tpu.envs.gait_clock import phase_frequency_from_command
+
 USE_MOTOR_SPEED_LIMITS = True  # reference joystick.py:46
 
 
@@ -88,11 +90,8 @@ class PolicyLoopMixin:
     def control_step(self) -> np.ndarray:
         """One 50 Hz control tick: obs -> policy -> clamped motor targets."""
         if not self.standing:
-            # the ONE clock law, shared with training (numpy path of the
-            # backend-dispatching helper; constants come from ONNX metadata)
-            from open_duck_playground_tpu.envs.joystick import (
-                phase_frequency_from_command,
-            )
+            # the ONE clock law, shared with training (jax-free module so
+            # deploy never imports jax; constants come from ONNX metadata)
             cmd_factor = float(phase_frequency_from_command(
                 self.commands[0], self.phase_freq_vx_ref, self.phase_freq_max
             ))

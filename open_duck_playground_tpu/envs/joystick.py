@@ -35,17 +35,10 @@ USE_IMITATION_REWARD = True
 USE_MOTOR_SPEED_LIMITS = True
 
 
-def phase_frequency_from_command(cmd_vx, vx_ref: float, f_max: float):
-    """Command-conditioned gait-clock factor: clip(|vx| / vx_ref, 1, f_max).
-
-    vx_ref <= 0 disables the law (factor 1.0 — reference parity). Works on
-    jnp tracers (training) and numpy scalars (deploy twin); deploy reads the
-    same constants back from ONNX metadata so both sides run one law.
-    """
-    xp = jnp if isinstance(cmd_vx, jnp.ndarray) else np
-    if vx_ref <= 0.0:
-        return xp.float32(1.0)
-    return xp.clip(xp.abs(cmd_vx) / vx_ref, 1.0, f_max).astype(xp.float32)
+# the ONE clock law, shared with the jax-free deploy twin (gait_clock.py)
+from open_duck_playground_tpu.envs.gait_clock import (  # noqa: E402,F401
+    phase_frequency_from_command,
+)
 
 
 def default_config() -> config_dict.ConfigDict:

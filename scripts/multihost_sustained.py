@@ -17,7 +17,7 @@ Checks (exit nonzero on failure):
     across device counts (f32), and chaotic contact dynamics amplify it —
     so curve parity is statistical, same standard as seed variance)
 
-Artifacts: RESULTS/r4/multihost_sustained.json (curves, sps, verdicts).
+Artifacts: RESULTS/r5/multihost_sustained.json (curves, sps, verdicts).
 
 Maps to BASELINE config #5 (multi-host 300M recipe) at CPU-feasible scale;
 the same init_distributed + Mesh path drives real multi-host TPU pods
@@ -42,7 +42,7 @@ CFG = dict(
     num_timesteps=2_048_000,
     episode_length=1000,
     num_envs=256,
-    num_eval_envs=128,
+    num_eval_envs=32,  # 128 made the first epoch 50+ min on this 1-core box
     unroll_length=20,
     num_minibatches=8,
     batch_size=32,          # num_envs = num_minibatches * batch_size
@@ -53,9 +53,17 @@ CFG = dict(
 
 
 def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
+    # the terminate timeout default (40 s) killed the round-4 run: on a
+    # 1-core host, 8 collective participant threads time-slice one core and
+    # a concurrent CPU hog can stagger their rendezvous arrival past 40 s
+    # (RESULTS/r4/multihost_sustained.log). Raise it far above any plausible
+    # scheduling stall; correctness is unaffected (it is a watchdog, not a
+    # synchronization primitive).
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={nloc}"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     ).strip()
     import jax
 
@@ -123,7 +131,13 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
     )
     wall = time.monotonic() - t_start
     with open(curve_path) as f:
-        curve = [json.loads(line) for line in f]
+        rows = [json.loads(line) for line in f]
+    # dedupe by step keeping the LAST row: if a stage crashed and was re-run
+    # (the chain restart scripts do exactly this), earlier partial rows for
+    # the same eval step are superseded, and resume_curve_complete stays
+    # meaningful
+    by_step = {r["step"]: r for r in rows}
+    curve = [by_step[s] for s in sorted(by_step)]
     # steady-state sps: median post-warmup inter-eval interval (the first
     # interval pays the compiles; median resists one transiently-fast eval)
     ss_sps = None
@@ -223,8 +237,8 @@ def main() -> None:
         "dist_rank0": {k: r0[k] for k in ("curve", "wall_s", "steady_sps", "count")},
         "verdicts": verdicts,
     }
-    os.makedirs("RESULTS/r4", exist_ok=True)
-    with open("RESULTS/r4/multihost_sustained.json", "w") as f:
+    os.makedirs("RESULTS/r5", exist_ok=True)
+    with open("RESULTS/r5/multihost_sustained.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(verdicts))
     if not all(verdicts.values()):

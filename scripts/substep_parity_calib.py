@@ -19,6 +19,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the env var alone is ignored under the axon TPU plugin (it would grab the
+# single-process tunnel); force the platform at the config level too
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import mujoco
 import numpy as np

@@ -148,10 +148,11 @@ _RESUME_WORKER = textwrap.dedent("""
 """)
 
 
-def _run_resume_stage(port, tmp_path, ckpt="", stop=""):
+def _run_resume_stage(ckpt="", stop="", _retries=2):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    port = _free_port()
     procs = []
     for rank in range(2):
         e = dict(env, _MH_RANK=str(rank), _MH_CKPT=ckpt, _MH_STOP=stop)
@@ -161,6 +162,10 @@ def _run_resume_stage(port, tmp_path, ckpt="", stop=""):
     outs = [p.communicate(timeout=1800) for p in procs]
     evals = {}
     for rank, (p, (so, se)) in enumerate(zip(procs, outs)):
+        if p.returncode and _retries and "bind" in (so + se).lower():
+            # ephemeral-port TOCTOU: another process grabbed the port between
+            # _free_port's close and the coordinator's bind — pick a new one
+            return _run_resume_stage(ckpt=ckpt, stop=stop, _retries=_retries - 1)
         assert p.returncode == 0, f"rank {rank}\nstdout:{so}\nstderr:{se}"
         import json as _json
 
@@ -173,6 +178,9 @@ def _free_port():
     import socket
 
     with socket.socket() as s:
+        # SO_REUSEADDR narrows (not closes) the window between our close and
+        # the coordinator's bind; _run_resume_stage retries on a bind race
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
@@ -181,14 +189,14 @@ def _free_port():
 def test_multiprocess_kill_and_resume_bit_reproduces_curve(tmp_path):
     ckpt = str(tmp_path / "mh_ckpt")
     # A: uninterrupted 2-process run
-    full = _run_resume_stage(_free_port(), tmp_path)
+    full = _run_resume_stage()
     assert len(full[0]) == 5 and full[0] == full[1]
     # B: killed after 2 epochs (full state written by host0 via allgather)
-    part = _run_resume_stage(_free_port(), tmp_path, ckpt=ckpt, stop="2")
+    part = _run_resume_stage(ckpt=ckpt, stop="2")
     assert len(part[0]) == 3 and part[0] == part[1]
     assert os.path.isdir(ckpt)
     # C: auto-resume (host0 loads, state broadcast to all processes)
-    rest = _run_resume_stage(_free_port(), tmp_path, ckpt=ckpt)
+    rest = _run_resume_stage(ckpt=ckpt)
     assert len(rest[0]) == 2 and rest[0] == rest[1]
     merged = part[0] + rest[0]
     assert merged == full[0], f"{merged} != {full[0]}"
