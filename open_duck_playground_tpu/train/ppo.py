@@ -32,6 +32,10 @@ from open_duck_playground_tpu.train import networks as nets
 
 import optax
 
+# set by train(profile_breakdown=True): the timing/cost dict of the last
+# breakdown, for harnesses that want the artifact without parsing stdout
+LAST_PROFILE_BREAKDOWN: Optional[Dict[str, Any]] = None
+
 
 class Transition(NamedTuple):
     observation: Dict[str, jax.Array]
@@ -112,6 +116,7 @@ def train(
     auto_resume: bool = False,
     keep_full_states: int = 2,
     stop_after_epochs: Optional[int] = None,
+    profile_breakdown: bool = False,
 ):
     """Train PPO; returns (make_policy, (normalizer, params), metrics).
 
@@ -522,6 +527,62 @@ def train(
                 step_count, make_policy,
                 (training_state.normalizer, training_state.params),
             )
+
+    if profile_breakdown:
+        # Time the REAL jitted sub-programs the epoch is made of (not
+        # re-implementations), so the end-to-end sps can be attributed:
+        # rollout vs SGD vs eval vs full-state checkpoint (VERDICT r4 #2/#6).
+        # Uses throwaway keys and discards outputs — training semantics and
+        # the epoch_key/eval_key streams are untouched.
+        import json as _json
+
+        def _timed(fn, *args):
+            out = fn(*args)  # compile + warmup
+            jax.block_until_ready(out)
+            t = time.monotonic()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            return time.monotonic() - t, out
+
+        pk = jax.random.PRNGKey(0xB0)
+        bd: Dict[str, Any] = {"num_envs": num_envs,
+                              "unroll_length": unroll_length,
+                              "env_steps_per_training_step":
+                                  env_step_per_training_step}
+        rollout_jit = jax.jit(rollout)
+        t_roll, (_, data0) = _timed(
+            rollout_jit, env_state,
+            (training_state.normalizer, training_state.params), pk)
+        bd["rollout_s"] = round(t_roll, 4)
+        bd["rollout_env_sps"] = round(num_envs * unroll_length / t_roll, 1)
+        sgd_jit = jax.jit(sgd_step)
+        t_sgd, _ = _timed(sgd_jit, training_state, data0, pk)
+        bd["sgd_s"] = round(t_sgd, 4)
+        tstep_jit = jax.jit(lambda c: training_step(c, None)[0])
+        t_step, _ = _timed(tstep_jit, (training_state, env_state, pk))
+        bd["training_step_s"] = round(t_step, 4)
+        bd["e2e_env_sps"] = round(env_step_per_training_step / t_step, 1)
+        try:
+            ca = (tstep_jit.lower((training_state, env_state, pk))
+                  .compile().cost_analysis())
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            bd["tstep_flops"] = float(ca.get("flops", -1.0))
+            bd["tstep_bytes"] = float(ca.get("bytes accessed", -1.0))
+        except Exception as e:  # cost model availability differs per backend
+            bd["cost_analysis_error"] = str(e)
+        if eval_wrapped is not None:
+            t_eval, _ = _timed(
+                run_eval, (training_state.normalizer, training_state.params),
+                pk)
+            bd["eval_s"] = round(t_eval, 4)
+        if save_full_state_dir is not None:
+            t0p = time.monotonic()
+            _save_full_state(start_epoch)
+            bd["full_state_save_s"] = round(time.monotonic() - t0p, 4)
+        bd["num_training_steps_per_epoch"] = num_training_steps_per_epoch
+        global LAST_PROFILE_BREAKDOWN
+        LAST_PROFILE_BREAKDOWN = bd
+        print(f"[ppo] profile_breakdown {_json.dumps(bd)}", flush=True)
 
     if start_epoch == 0:
         _eval_and_report(0)

@@ -3,31 +3,40 @@
 VERDICT r3 #6: trajectory-level trace tests can only bound divergence at
 ~2x an iterations=1-Newton chaos floor. This test instead compares ONE
 forward pass from identical states with aligned (zero) warmstart, so the
-well-posed pipeline stages are held to f32-tight bounds:
+well-posed pipeline stages are held to f32-tight bounds (worst of the
+flat and backlash scenes):
 
   stage                measured settled max (K=40)   bound here (~2x)
-  qfrc_smooth          4.4e-6                         1e-5
+  qfrc_smooth          5.0e-6                         1e-5
+  qacc_smooth          8.4e-5                         2e-4
   fri_D (rel)          3.6e-7                         1e-6
-  fri_aref             4.9e-7                         2e-6
+  fri_aref             5.3e-7                         2e-6
   fri_J                0.0 (exact)                    1e-7
   con_normal_dot       1.0 (exact)                    >= 0.9999
-  con_dist             4.4e-4                         1e-3
-  con_pos              5.1e-3                         1e-2
-  con_J                4.6e-3                         1e-2
+  con_dist             4.5e-8                         1e-7
+  con_pos              1.1e-7                         5e-7
+  con_J                1.3e-7                         5e-7
   con_row_perm_fail    0                              0
+  con_matched_frac     1.0 (every MuJoCo contact)     == 1.0
 
-and the solver-level divergence is bounded, not asserted tight, because
-MuJoCo's box-plane collider emits one more active contact than our static
-4-slot manifold (con_matched_frac 0.8 settled), so the Newton active sets
-legitimately differ:
+The round-4 "static 4-slot manifold misses MuJoCo's 5th contact" gap is
+CLOSED (VERDICT r4 #4): MuJoCo's settled stance emits 3 left- + 2
+right-foot plane-mesh contacts (<= 4 per pair, within our per-pair
+capacity) and our collider reproduces all five to ~1e-7 m — the round-4
+calibration predated the substep-parity harness fixes in c2554a9; the
+re-run shows full manifold agreement. What still legitimately diverges is
+the iterations=1 Newton ACTIVE SET under velocity/ctrl noise (marginal
+complementarity rows flip on f32-epsilon aref differences), which bounds
+post-solve qacc:
 
-  qacc_smooth          7.1e-2   (f32 M-solve through ~1e3-conditioned M)
-  con_aref             1.16     (con_dist error through the impedance K)
-  qacc (post-solve)    13.5     (solver-branch divergence, settled)
+  con_aref             1.1e-4                         3e-4
+  qacc (post-solve)    2.56                           6.0
+  (as-matched subset   0.68; as-mismatched 1.85 — both regimes bounded)
 
 Calibration source: scripts/substep_parity_calib.py --modes settled
-(RESULTS/r4/substep_parity_settled.log, 2026-08-19, mujoco 3.10, K=40).
-Reference anchor: mj_forward (MuJoCo engine_forward.c) vs ops/forward.py.
+(RESULTS/r5/substep_parity_settled_r5.log, 2026-08-20, mujoco 3.10,
+K=40). Reference anchor: mj_forward (MuJoCo engine_forward.c) vs
+ops/forward.py.
 """
 
 from __future__ import annotations
@@ -41,7 +50,7 @@ from open_duck_playground_tpu.mjcf.compiler import compile_mjcf
 
 from conftest import FLAT_SCENE
 
-K = 6  # states sampled; calib used K=40 — bounds here are 2x the K=40 max
+K = 20  # states sampled; calib used K=40 — bounds here are 2x the K=40 max
 
 
 @pytest.fixture(scope="module")
@@ -64,8 +73,8 @@ def settled_stats(setup):
 def test_smooth_dynamics_tight(settled_stats):
     """Bias/passive/actuation forces agree to f32 round-off."""
     assert max(settled_stats["qfrc_smooth"]) < 1e-5
-    # f32 LDL solve through a ~1e3-conditioned M: abs err bounded, not tight
-    assert max(settled_stats["qacc_smooth"]) < 0.2
+    # f32 LDL solve through a ~1e3-conditioned M
+    assert max(settled_stats["qacc_smooth"]) < 2e-4
 
 
 def test_friction_rows_tight(settled_stats):
@@ -76,22 +85,23 @@ def test_friction_rows_tight(settled_stats):
 
 def test_contact_geometry_tight(settled_stats):
     assert min(settled_stats["con_normal_dot"]) > 0.9999
-    assert max(settled_stats["con_dist"]) < 1e-3
-    assert max(settled_stats["con_pos"]) < 1e-2
+    assert max(settled_stats["con_dist"]) < 1e-7
+    assert max(settled_stats["con_pos"]) < 5e-7
     # every matched contact's 4 pyramid rows are a clean permutation of mj's
     assert max(settled_stats["con_row_perm_fail"]) == 0.0
-    assert max(settled_stats["con_J"]) < 1e-2
-    # MuJoCo emits 5 active contacts at the settled stance, our static
-    # manifold carries 4 of them (documented collider difference)
-    assert min(settled_stats["con_matched_frac"]) >= 0.75
+    assert max(settled_stats["con_J"]) < 5e-7
+    # EVERY MuJoCo settled-stance contact (3 left + 2 right foot) is
+    # reproduced by our manifold (VERDICT r4 #4 closed)
+    assert min(settled_stats["con_matched_frac"]) == 1.0
 
 
 def test_solver_divergence_bounded(settled_stats):
-    """Active sets differ by the unmatched 5th contact -> qacc diverges at
-    the solver branch; bound it at ~2x the measured settled ceiling so a
-    regression in the solver itself (not the manifold count) still trips."""
-    assert max(settled_stats["con_aref"]) < 2.5
-    assert max(settled_stats["qacc_all"]) < 30.0
+    """Contact manifolds now match 1:1; what still diverges is the
+    iterations=1 Newton ACTIVE SET under velocity/ctrl noise (marginal
+    complementarity rows flip on f32-epsilon aref differences). Bound
+    post-solve qacc at ~2x the K=40 ceiling of the worst regime."""
+    assert max(settled_stats["con_aref"]) < 3e-4
+    assert max(settled_stats["qacc_all"]) < 6.0
 
 
 def test_pieces_match_forward(setup):
