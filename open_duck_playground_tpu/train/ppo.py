@@ -18,6 +18,7 @@ mesh used in tests.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
@@ -587,14 +588,42 @@ def train(
     if start_epoch == 0:
         _eval_and_report(0)
 
+    # Canonicalize the carry before the loop: epoch_key starts as an
+    # UNCOMMITTED host-split key while training_epoch returns a committed,
+    # explicitly-sharded one — the aval/sharding mismatch made the SECOND
+    # epoch call recompile the entire epoch program (a second ~7-min
+    # compile of the giant scan on a cold cache — observed round 5,
+    # epoch-2 sps 102k vs steady 1.57M). Commit every carry member to the
+    # sharding the epoch outputs use; then every epoch hits one executable
+    # (asserted by the `program variants` print below).
+    def _strong(x):
+        return (jax.lax.convert_element_type(x, x.dtype)
+                if isinstance(x, jax.Array) else x)
+
+    training_state = jax.tree_util.tree_map(_strong, training_state)
+    env_state = jax.tree_util.tree_map(_strong, env_state)
+    epoch_key = jax.device_put(jnp.asarray(epoch_key), sh_rep)
+
     walltimes = []
     print(f"[ppo] entering training loop: {num_evals_after_init} epochs x "
           f"{num_training_steps_per_epoch} training steps", flush=True)
     for epoch_i in range(start_epoch, num_evals_after_init):
         t0 = time.monotonic()
+        if os.environ.get("ODP_DEBUG_AVALS"):
+            _in = (training_state, env_state, epoch_key)
         training_state, env_state, epoch_key, train_metrics = training_epoch(
             training_state, env_state, epoch_key
         )
+        if os.environ.get("ODP_DEBUG_AVALS"):
+            _out = (training_state, env_state, epoch_key)
+            _li, _ = jax.tree_util.tree_flatten_with_path(_in)
+            _lo, _ = jax.tree_util.tree_flatten_with_path(_out)
+            for (pi, vi), (_, vo) in zip(_li, _lo):
+                ai = jax.api_util.shaped_abstractify(vi)
+                ao = jax.api_util.shaped_abstractify(vo)
+                if ai != ao:
+                    print(f"[ppo] AVAL DRIFT {jax.tree_util.keystr(pi)}: "
+                          f"{ai} -> {ao}", flush=True)
         jax.block_until_ready(training_state.env_steps)
         walltimes.append(time.monotonic() - t0)
         sps = num_training_steps_per_epoch * env_step_per_training_step / walltimes[-1]
@@ -611,6 +640,12 @@ def train(
             print(f"[ppo] stop_after_epochs={stop_after_epochs}: stopping "
                   f"after epoch {epoch_i}", flush=True)
             break
+
+    if hasattr(training_epoch, "_cache_size"):
+        # 1 == the aval canonicalization held and every epoch reused one
+        # executable; 2 would mean a second giant compile (regression)
+        print(f"[ppo] training_epoch program variants: "
+              f"{training_epoch._cache_size()}", flush=True)
 
     full_params = (training_state.normalizer, training_state.params)
     return make_policy, full_params, metrics
