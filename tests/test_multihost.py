@@ -28,7 +28,10 @@ slow = pytest.mark.skipif(
 # so it runs in seconds where the PPO variants below pay minutes of jit.
 _SMOKE_WORKER = textwrap.dedent("""
     import os, sys
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
     sys.path.insert(0, os.getcwd())
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -101,7 +104,10 @@ def test_multihost_two_process_equality():
 # resume, process_allgather of the env-sharded batch, host0-only writes.
 _RESUME_WORKER = textwrap.dedent("""
     import json, os, sys
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
     sys.path.insert(0, os.getcwd())
     sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
     import jax
