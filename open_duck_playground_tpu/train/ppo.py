@@ -603,6 +603,14 @@ def train(
     training_state = jax.tree_util.tree_map(_strong, training_state)
     env_state = jax.tree_util.tree_map(_strong, env_state)
     epoch_key = jax.device_put(jnp.asarray(epoch_key), sh_rep)
+    # ...and give every carry leaf the exact sharding FLAVOR jit outputs
+    # carry (on one device, explicit NamedSharding inputs vs the
+    # SingleDeviceSharding of jit outputs are distinct cache signatures
+    # even though shaped_abstractify agrees — the remaining variant-2
+    # source on the single-chip TPU path). An identity jit round-trip
+    # commits the carry the same way training_epoch will.
+    training_state, env_state, epoch_key = jax.jit(
+        lambda ts, es, k: (ts, es, k))(training_state, env_state, epoch_key)
 
     walltimes = []
     print(f"[ppo] entering training loop: {num_evals_after_init} epochs x "

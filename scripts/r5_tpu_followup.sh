@@ -24,9 +24,9 @@ JAX_PLATFORMS='' timeout 2400 python scripts/mfu_roofline.py \
   --out RESULTS/r5/mfu_kernel_rough.json > RESULTS/r5/mfu_kernel_rough.log 2>&1
 log "mfu kernel rough rc=$?"
 
-JAX_PLATFORMS='' timeout 3600 python scripts/mfu_roofline.py --epoch \
+JAX_PLATFORMS='' ODP_DEBUG_AVALS=1 timeout 3600 python scripts/mfu_roofline.py --epoch \
   --out RESULTS/r5/mfu_epoch.json > RESULTS/r5/mfu_epoch.log 2>&1
-log "mfu epoch rc=$?"
+log "mfu epoch rc=$? $(grep -c 'AVAL DRIFT' RESULTS/r5/mfu_epoch.log) drift leaves"
 
 JAX_PLATFORMS='' timeout 2400 python bench.py \
   > RESULTS/r5/bench_flat.json 2> RESULTS/r5/bench_flat.log
