@@ -483,6 +483,7 @@ def train(
             return
         from open_duck_playground_tpu.train import checkpoint as ckpt
 
+        t_g = time.monotonic()
         if jax.process_count() > 1:
             # env_state is env-sharded across processes: device_get would
             # fail on non-addressable shards, so gather the global value
@@ -498,11 +499,16 @@ def train(
             "epoch_key": jax.device_get(epoch_key),
             "eval_key": jax.device_get(eval_key),
         }
+        t_g = time.monotonic() - t_g
         if jax.process_index() != 0:
             return
         try:
+            t_w = time.monotonic()
             ckpt.save_full(save_full_state_dir, epoch_i, state,
                            keep=keep_full_states)
+            t_w = time.monotonic() - t_w
+            print(f"[ppo] full-state save epoch {epoch_i}: gather "
+                  f"{t_g:.2f}s write {t_w:.2f}s", flush=True)
         except Exception as e:  # keep training alive if the save breaks
             print(f"[ppo] full-state checkpoint failed: {e}", flush=True)
 
