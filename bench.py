@@ -152,16 +152,40 @@ def run_bench(args) -> dict:
         )
         return state
 
+    def hard_barrier(x):
+        """Materialize on host and fold into a python float.
+
+        block_until_ready alone has been observed to NOT block on the
+        axon tunnel after long sessions (round 5: a 100-step 4096-env
+        rollout 'completed' in 3.9 ms -> a bogus 103M steps/s bench).
+        device_get cannot lie: the bytes must exist host-side.
+        """
+        import numpy as _np
+
+        return float(_np.asarray(jax.device_get(x)).sum())
+
     rollout = jax.jit(rollout)
     t0 = time.perf_counter()
     state = rollout(state, jax.random.PRNGKey(3))
-    jax.block_until_ready(state.reward)
+    hard_barrier(state.reward)
     log(f"[bench] rollout compile+first in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     state = rollout(state, jax.random.PRNGKey(4))
-    jax.block_until_ready(state.reward)
+    hard_barrier(state.reward)
     dt = time.perf_counter() - t0
+
+    # plausibility guard: re-measure if the implied rate exceeds any
+    # physically-credible single-chip number for this engine (~6x the
+    # round-3/4 measured 3.3-3.5M); keep the SLOWEST measurement
+    implied = args.steps * args.num_envs / dt
+    if implied > 2e7:
+        log(f"[bench] suspect fast measurement {implied:.3g} steps/s; "
+            f"re-measuring")
+        t0 = time.perf_counter()
+        state = rollout(state, jax.random.PRNGKey(5))
+        hard_barrier(state.reward)
+        dt = max(dt, time.perf_counter() - t0)
 
     n_chips = jax.device_count() if not args.cpu else 1
     env_steps_per_sec = args.steps * args.num_envs / dt

@@ -73,13 +73,20 @@ def kernel_mode(args) -> dict:
                                        length=args.steps)
         return state
 
+    import numpy as np
+
+    def hard_barrier(x):
+        # device_get, not block_until_ready: the axon tunnel has been seen
+        # reporting completion without the result existing (bench.py note)
+        return float(np.asarray(jax.device_get(x)).sum())
+
     rollout_jit = jax.jit(rollout)
     # compile + warm (two calls: weak-type second variant, see bench.py)
     state = rollout_jit(state, jax.random.PRNGKey(3))
-    jax.block_until_ready(state.reward)
+    hard_barrier(state.reward)
     t0 = time.perf_counter()
     state = rollout_jit(state, jax.random.PRNGKey(4))
-    jax.block_until_ready(state.reward)
+    hard_barrier(state.reward)
     dt = time.perf_counter() - t0
 
     out = {

@@ -4,8 +4,18 @@ Where multihost_cpu_demo.py proves seeding/psum EQUALITY on a tiny config,
 this runs a REAL (scaled-down) joystick recipe — flat terrain, DR on,
 episode_length 1000, 2M env steps — as:
 
-  ref: 1 process x 8 virtual CPU devices
-  dist: 2 processes x 4 devices each (jax.distributed over localhost)
+  ref: 1 process x 1 CPU device
+  dist: 2 processes x 1 device each (jax.distributed over localhost)
+
+Device counts are 1 per process BY DESIGN on this 1-core host: with 8
+in-process virtual devices the XLA:CPU in-process all-reduce rendezvous
+DEADLOCKS mid-recipe under oversubscription (observed twice: round 4 at
+op_id 17 with 2/8 arrived, round 5 with 7/8 waiting and the 8th thread
+never scheduled — zero CPU accrual). 1 device per process removes the
+in-process rendezvous entirely while keeping the property under test:
+the CROSS-PROCESS collective path (jax.distributed + global mesh) that
+drives real multi-host TPU pods. Device-count invariance of the recipe
+itself is covered separately by tests/test_multidevice.py.
 
 and records per-eval learning curves + steady-state env-steps/s for each.
 Checks (exit nonzero on failure):
@@ -185,7 +195,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="mh_sustained_")
     paths = {k: os.path.join(tmp, f"{k}.json") for k in ("ref", "r0", "r1")}
 
-    p = _spawn(0, 1, 8, paths["ref"])
+    p = _spawn(0, 1, 1, paths["ref"])
     if p.wait(timeout=14400):
         raise SystemExit("reference (1-process) worker failed")
     # distributed leg, interrupted by design: stage 1 stops after 2 epochs
@@ -194,12 +204,12 @@ def main() -> None:
     # final curve must still satisfy every check against the UNINTERRUPTED
     # 1-process reference
     ckpt = os.path.join(tmp, "ckpt")
-    procs = [_spawn(r, 2, 4, paths[f"r{r}"], ckpt=ckpt, stop="2")
+    procs = [_spawn(r, 2, 1, paths[f"r{r}"], ckpt=ckpt, stop="2")
              for r in range(2)]
     rc = [p.wait(timeout=14400) for p in procs]
     if any(rc):
         raise SystemExit(f"stage-1 worker exit codes: {rc}")
-    procs = [_spawn(r, 2, 4, paths[f"r{r}"], ckpt=ckpt) for r in range(2)]
+    procs = [_spawn(r, 2, 1, paths[f"r{r}"], ckpt=ckpt) for r in range(2)]
     rc = [p.wait(timeout=14400) for p in procs]
     if any(rc):
         raise SystemExit(f"stage-2 (resume) worker exit codes: {rc}")
