@@ -409,7 +409,21 @@ def train(
     jax.block_until_ready(env_state.reward)
     print(f"[ppo] env reset ({num_envs} envs) compiled+ran in "
           f"{time.monotonic() - t0:.1f}s", flush=True)
-    training_state = jax.device_put(training_state, sh_rep)
+    if jax.process_count() > 1:
+        # NOT jax.device_put: for multi-process shardings it runs a hidden
+        # multihost_utils.assert_equal — a gloo allgather at arbitrary
+        # startup time, which flaked with a connect timeout in the round-5
+        # sustained run (stage-2 resume leg). The train state is identical
+        # across processes by construction (same seed), so place it
+        # collective-free.
+        def _put_rep(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sh_rep, lambda idx: x[idx])
+
+        training_state = jax.tree_util.tree_map(_put_rep, training_state)
+    else:
+        training_state = jax.device_put(training_state, sh_rep)
 
     # curve-preserving resume: restore the complete train state (params,
     # optimizer, env batch, host RNG keys) saved after an earlier epoch, so
@@ -608,7 +622,13 @@ def train(
 
     training_state = jax.tree_util.tree_map(_strong, training_state)
     env_state = jax.tree_util.tree_map(_strong, env_state)
-    epoch_key = jax.device_put(jnp.asarray(epoch_key), sh_rep)
+    if jax.process_count() > 1:
+        # collective-free placement (see the _put_rep comment above)
+        _k = np.asarray(epoch_key)
+        epoch_key = jax.make_array_from_callback(
+            _k.shape, sh_rep, lambda idx: _k[idx])
+    else:
+        epoch_key = jax.device_put(jnp.asarray(epoch_key), sh_rep)
     # ...and give every carry leaf the exact sharding FLAVOR jit outputs
     # carry (on one device, explicit NamedSharding inputs vs the
     # SingleDeviceSharding of jit outputs are distinct cache signatures

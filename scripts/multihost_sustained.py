@@ -174,10 +174,11 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
 
 
 def _spawn(rank: int, nproc: int, nloc: int, out_path: str,
-           ckpt: str = "", stop: str = ""):
+           ckpt: str = "", stop: str = "", port: int | None = None):
     env = dict(os.environ)
     env.update(_MH_RANK=str(rank), _MH_NPROC=str(nproc), _MH_NLOC=str(nloc),
-               _MH_OUT=out_path, _MH_CKPT=ckpt, _MH_STOP=stop)
+               _MH_OUT=out_path, _MH_CKPT=ckpt, _MH_STOP=stop,
+               _MH_PORT=str(port if port is not None else PORT))
     env.pop("XLA_FLAGS", None)
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)], env=env,
@@ -192,27 +193,52 @@ def main() -> None:
                int(os.environ["_MH_NLOC"]), os.environ["_MH_OUT"])
         return
 
-    tmp = tempfile.mkdtemp(prefix="mh_sustained_")
+    # _MH_TMP reuses a previous invocation's working dir (curve jsonls,
+    # checkpoint) so a crashed chain restarts from its last good stage
+    tmp = os.environ.get("_MH_TMP") or tempfile.mkdtemp(prefix="mh_sustained_")
+    os.makedirs(tmp, exist_ok=True)
     paths = {k: os.path.join(tmp, f"{k}.json") for k in ("ref", "r0", "r1")}
 
-    p = _spawn(0, 1, 1, paths["ref"])
-    if p.wait(timeout=14400):
-        raise SystemExit("reference (1-process) worker failed")
+    # a completed ref leg can be reused across invocations (it takes ~2 h
+    # on this 1-core host; a gloo flake in a later stage must not force a
+    # rerun): point _MH_REF_JSON at the previous ref.json
+    ref_reuse = os.environ.get("_MH_REF_JSON", "")
+    if ref_reuse and os.path.exists(ref_reuse):
+        import shutil
+
+        shutil.copy(ref_reuse, paths["ref"])
+        print(f"[mh] reusing ref leg result {ref_reuse}", flush=True)
+    else:
+        p = _spawn(0, 1, 1, paths["ref"])
+        if p.wait(timeout=14400):
+            raise SystemExit("reference (1-process) worker failed")
     # distributed leg, interrupted by design: stage 1 stops after 2 epochs
     # with the full train state checkpointed (multi-process allgather +
     # host0 write), stage 2 auto-resumes and completes the recipe — the
     # final curve must still satisfy every check against the UNINTERRUPTED
-    # 1-process reference
+    # 1-process reference. Each stage gets a FRESH coordinator port (stale
+    # gloo endpoint state on a reused port produced a connect-timeout
+    # flake) and one retry; the curve jsonl dedupe makes retries safe.
     ckpt = os.path.join(tmp, "ckpt")
-    procs = [_spawn(r, 2, 1, paths[f"r{r}"], ckpt=ckpt, stop="2")
-             for r in range(2)]
-    rc = [p.wait(timeout=14400) for p in procs]
-    if any(rc):
-        raise SystemExit(f"stage-1 worker exit codes: {rc}")
-    procs = [_spawn(r, 2, 1, paths[f"r{r}"], ckpt=ckpt) for r in range(2)]
-    rc = [p.wait(timeout=14400) for p in procs]
-    if any(rc):
-        raise SystemExit(f"stage-2 (resume) worker exit codes: {rc}")
+
+    def run_stage(stage_i: int, stop: str) -> None:
+        for attempt in range(2):
+            port = PORT + 1 + 2 * stage_i + attempt
+            procs = [_spawn(r, 2, 1, paths[f"r{r}"], ckpt=ckpt, stop=stop,
+                            port=port) for r in range(2)]
+            rc = [p.wait(timeout=14400) for p in procs]
+            if not any(rc):
+                return
+            print(f"[mh] stage-{stage_i} attempt {attempt} exit codes {rc}; "
+                  f"{'retrying' if attempt == 0 else 'giving up'}", flush=True)
+        raise SystemExit(f"stage-{stage_i} failed twice")
+
+    if not os.environ.get("_MH_SKIP_STAGE1"):
+        run_stage(1, stop="2")
+    else:
+        print("[mh] _MH_SKIP_STAGE1: resuming directly into stage 2",
+              flush=True)
+    run_stage(2, stop="")
 
     ref, r0, r1 = (json.load(open(paths[k])) for k in ("ref", "r0", "r1"))
 
