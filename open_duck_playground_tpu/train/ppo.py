@@ -118,6 +118,7 @@ def train(
     keep_full_states: int = 2,
     stop_after_epochs: Optional[int] = None,
     profile_breakdown: bool = False,
+    resume_shared_fs: bool = False,
 ):
     """Train PPO; returns (make_policy, (normalizer, params), metrics).
 
@@ -438,7 +439,36 @@ def train(
             "epoch_key": epoch_key,
             "eval_key": eval_key,
         }
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and resume_shared_fs:
+            # shared filesystem: every process reads the SAME directory, so
+            # the decision is deterministic per process and the state loads
+            # locally — zero ad-hoc collectives. Motivated by round 5: the
+            # pre-training broadcast_one_to_all below needs fresh gloo pair
+            # connections under multi-minute rank compile skew and timed
+            # out repeatedly, while in-program (jit) collectives were fine.
+            found = ckpt.latest_full(save_full_state_dir)
+            if found is not None:
+                resume_epoch, resume_path = found
+                template = jax.tree_util.tree_map(
+                    lambda x: np.zeros(x.shape, x.dtype), target)
+                restored = ckpt.load_full(resume_path, template)
+
+                def _put_l(x, sh):
+                    x = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        x.shape, sh, lambda idx: x[idx])
+
+                training_state = jax.tree_util.tree_map(
+                    lambda x: _put_l(x, sh_rep), restored["training_state"])
+                env_state = jax.tree_util.tree_map(
+                    lambda x: _put_l(x, sh_env), restored["env_state"])
+                epoch_key = jnp.asarray(restored["epoch_key"])
+                eval_key = jnp.asarray(restored["eval_key"])
+                start_epoch = resume_epoch + 1
+                print(f"[ppo] resumed full train state (shared fs) epoch "
+                      f"{resume_epoch}, env_steps "
+                      f"{int(training_state.env_steps)}", flush=True)
+        elif jax.process_count() > 1:
             # multi-process: host0 decides and loads; the state is broadcast
             # so every process agrees on start_epoch (a per-process decision
             # would desync the collective schedule) and resume works without

@@ -74,6 +74,9 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
         + f" --xla_force_host_platform_device_count={nloc}"
         + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
         + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        # the gloo KV/connect wait at the FIRST cross-process collective
+        # defaults to 30 s; rank compile skew on a 1-core host is minutes
+        + " --xla_cpu_collective_timeout_seconds=1200"
     ).strip()
     import jax
 
@@ -88,6 +91,15 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
         )
     assert jax.process_count() == nproc
     assert jax.device_count() == nproc * nloc
+    if nproc > 1:
+        # establish the gloo context NOW, while ranks are within seconds of
+        # each other (process spawn + jax import) — later collectives then
+        # reuse it and heavy per-rank compile skew cannot hit the
+        # first-contact window
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mh_startup")
+        print(f"[mh rank {rank}] startup barrier passed", flush=True)
     import numpy as np
     from jax.sharding import Mesh
 
@@ -123,8 +135,11 @@ def worker(rank: int, nproc: int, nloc: int, out_path: str) -> None:
     ckpt_dir = os.environ.get("_MH_CKPT")
     if ckpt_dir:
         # exercises the multi-process full-state path: process_allgather of
-        # the env-sharded batch + host0-only writes + broadcast resume
-        extra.update(save_full_state_dir=ckpt_dir, auto_resume=True)
+        # the env-sharded batch + host0-only writes; resume decisions are
+        # per-process over the shared filesystem (the pre-training gloo
+        # broadcast flaked under rank compile skew — see ppo.py)
+        extra.update(save_full_state_dir=ckpt_dir, auto_resume=True,
+                     resume_shared_fs=True)
     stop = os.environ.get("_MH_STOP")
     if stop:
         extra["stop_after_epochs"] = int(stop)
@@ -204,9 +219,10 @@ def main() -> None:
     # rerun): point _MH_REF_JSON at the previous ref.json
     ref_reuse = os.environ.get("_MH_REF_JSON", "")
     if ref_reuse and os.path.exists(ref_reuse):
-        import shutil
+        if os.path.abspath(ref_reuse) != os.path.abspath(paths["ref"]):
+            import shutil
 
-        shutil.copy(ref_reuse, paths["ref"])
+            shutil.copy(ref_reuse, paths["ref"])
         print(f"[mh] reusing ref leg result {ref_reuse}", flush=True)
     else:
         p = _spawn(0, 1, 1, paths["ref"])
