@@ -222,6 +222,9 @@ def main() -> None:
             "unit": "env-steps/s/chip",
             "vs_baseline": 0,
             "error": f"{type(e).__name__}: {e}",
+            "last_live_measurement": "RESULTS/r5/bench_flat2.json "
+            "(3.40M env-steps/s/chip, 2026-08-20; the axon tunnel has "
+            "intermittent outages — see RESULTS.md)",
         }
     print(json.dumps(result), flush=True)
 
