@@ -37,6 +37,10 @@ import optax
 # breakdown, for harnesses that want the artifact without parsing stdout
 LAST_PROFILE_BREAKDOWN: Optional[Dict[str, Any]] = None
 
+# executable-cache entries of the last run's epoch program (scan mode
+# only, i.e. host_loop=False); 1 means every epoch reused one compile
+LAST_EPOCH_PROGRAM_VARIANTS: Optional[int] = None
+
 
 class Transition(NamedTuple):
     observation: Dict[str, jax.Array]
@@ -707,9 +711,12 @@ def train(
 
     if hasattr(training_epoch, "_cache_size"):
         # 1 == the aval canonicalization held and every epoch reused one
-        # executable; 2 would mean a second giant compile (regression)
+        # executable; 2 would mean a second giant compile (regression —
+        # asserted by tests/test_epoch_variants.py)
+        global LAST_EPOCH_PROGRAM_VARIANTS
+        LAST_EPOCH_PROGRAM_VARIANTS = int(training_epoch._cache_size())
         print(f"[ppo] training_epoch program variants: "
-              f"{training_epoch._cache_size()}", flush=True)
+              f"{LAST_EPOCH_PROGRAM_VARIANTS}", flush=True)
 
     full_params = (training_state.normalizer, training_state.params)
     return make_policy, full_params, metrics
