@@ -120,6 +120,7 @@ def train(
     save_full_state_dir: Optional[str] = None,
     auto_resume: bool = False,
     keep_full_states: int = 2,
+    save_full_state_every: int = 1,
     stop_after_epochs: Optional[int] = None,
     profile_breakdown: bool = False,
     resume_shared_fs: bool = False,
@@ -699,10 +700,18 @@ def train(
         metrics["training/sps"] = sps
         metrics["training/walltime"] = sum(walltimes)
         _eval_and_report(int(training_state.env_steps))
-        _save_full_state(epoch_i)
-        if stop_after_epochs is not None and (
+        stopping = stop_after_epochs is not None and (
             epoch_i + 1 - start_epoch >= stop_after_epochs
-        ):
+        )
+        # cadence knob: the gather+write is ~5.5 s at 8192 envs over the
+        # tunnel (RESULTS/r5/mfu_epoch_npz.json) — every-N saves trade resume
+        # granularity for epoch time. Always save on the final epoch and on
+        # the stop_after_epochs crash-simulation exit (resume tests rely on
+        # the stopped epoch's state being on disk).
+        if ((epoch_i + 1 - start_epoch) % max(save_full_state_every, 1) == 0
+                or epoch_i == num_evals_after_init - 1 or stopping):
+            _save_full_state(epoch_i)
+        if stopping:
             # crash-simulation hook for resume tests: exit mid-recipe with
             # the full state of `epoch_i` on disk, like a kill would
             print(f"[ppo] stop_after_epochs={stop_after_epochs}: stopping "

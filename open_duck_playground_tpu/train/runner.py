@@ -128,6 +128,7 @@ class BaseRunner:
             ),
             auto_resume=self.args.auto_resume,
             keep_full_states=self.args.keep_full_states,
+            save_full_state_every=self.args.save_full_state_every,
         )
         _, params, _ = train_fn(environment=self.env, eval_env=self.eval_env)
         return params
@@ -200,6 +201,10 @@ def main() -> None:
     # rotation; --auto_resume continues a killed run bit-exactly
     parser.add_argument("--auto_resume", action="store_true")
     parser.add_argument("--keep_full_states", type=int, default=2)
+    # save every N epochs (final/stop epochs always saved): the gather+write
+    # is ~5.5 s at 8192 envs (RESULTS/r5/mfu_epoch_npz.json) vs a ~27 s
+    # epoch — raise N to amortize when resume granularity can afford it
+    parser.add_argument("--save_full_state_every", type=int, default=1)
     parser.add_argument("--no_full_state_checkpoints", action="store_true")
     # epoch granularity: jitted scan-over-steps (TPU default) vs host loop
     # over one jitted training step (CPU default — the whole-epoch program's

@@ -55,7 +55,8 @@ class ToyEnv:
         return {"state": s, "privileged_state": p}
 
 
-def _train(tmpdir=None, stop_after=None, auto_resume=False, num_evals=5):
+def _train(tmpdir=None, stop_after=None, auto_resume=False, num_evals=5,
+           save_every=1):
     evals = []
 
     def progress(step, metrics):
@@ -77,6 +78,7 @@ def _train(tmpdir=None, stop_after=None, auto_resume=False, num_evals=5):
         save_full_state_dir=tmpdir,
         auto_resume=auto_resume,
         stop_after_epochs=stop_after,
+        save_full_state_every=save_every,
         host_loop=True,
     )
     return evals, params
@@ -104,6 +106,19 @@ def test_kill_and_resume_bit_reproduces_curve(tmp_path):
     for a, c in zip(jax.tree_util.tree_leaves(params_a),
                     jax.tree_util.tree_leaves(params_c)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_save_cadence_every_n_epochs(tmp_path):
+    # every=2 over epochs 0..3 saves on epochs 1 and 3 (the final epoch is
+    # also always-saved; here it coincides with the cadence)
+    d = str(tmp_path / "cad")
+    _train(tmpdir=d, save_every=2)
+    assert [e for e, _ in ckpt.list_full(d)] == [1, 3]
+    # cadence never fires before a stop_after_epochs kill, but the crash-sim
+    # exit must still leave the stopped epoch's state on disk for resume
+    d2 = str(tmp_path / "cad_stop")
+    _train(tmpdir=d2, save_every=5, stop_after=2)
+    assert [e for e, _ in ckpt.list_full(d2)] == [1]
 
 
 def test_full_state_rotation(tmp_path):
